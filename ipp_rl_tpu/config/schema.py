@@ -1,0 +1,373 @@
+"""Typed configuration schema with YAML loading and validation.
+
+Mirrors the surface of the reference config system (reference:
+``config/params.py:10``, ``constants.py:56-241``, ``config/example.yaml``)
+but as frozen dataclasses so that configs are hashable static arguments
+to jitted factories: every downstream precompute (action lattice,
+measurement models, priors) keys off these values at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+logger = logging.getLogger(__name__)
+
+# Registries paralleling the reference type enums (reference constants.py:56-101).
+SENSOR_TYPES = ("rgb_camera",)
+SENSOR_MODEL_TYPES = ("altitude_dependent",)
+SIMULATION_TYPES = (
+    "gaussian_random_field",
+    "hotspot_random_field",
+    "split_random_field",
+    "temperature_data_field",
+)
+MISSION_TYPES = (
+    "lawnmower",
+    "spiral",
+    "random_continuous",
+    "random_discrete",
+    "greedy",
+    "mcts",
+    "cmaes",
+    "mcts_zero",
+)
+
+
+class ConfigError(ValueError):
+    """Raised when a config file fails schema validation."""
+
+
+def _require(d: Dict, keys: List[str], ctx: str) -> None:
+    missing = [k for k in keys if k not in d]
+    if missing:
+        raise ConfigError(f"Missing required key(s) {missing} in '{ctx}' config block")
+
+
+@dataclass(frozen=True)
+class EnvironmentConfig:
+    """Grid dimensions and resolution (reference mapping/grid_maps.py:13-54)."""
+
+    x_dim: int = 10
+    y_dim: int = 10
+    resolution: float = 4.0
+
+    @property
+    def num_cells(self) -> int:
+        return self.x_dim * self.y_dim
+
+    @property
+    def extent_x(self) -> float:
+        return self.x_dim * self.resolution
+
+    @property
+    def extent_y(self) -> float:
+        return self.y_dim * self.resolution
+
+
+@dataclass(frozen=True)
+class SensorConfig:
+    """Camera + altitude-dependent noise model + world simulation choice.
+
+    (reference sensors/cameras.py:13-125, sensors/models/sensor_models.py:14-85,
+    simulations/simulation_factories.py:12-75)
+    """
+
+    type: str = "rgb_camera"
+    angle_x: float = 60.0  # FoV angle [deg]
+    angle_y: float = 60.0
+    encoding: str = "rgb8"
+    model_type: str = "altitude_dependent"
+    coeff_a: float = 0.05  # noise variance scale
+    coeff_b: float = 0.2  # altitude decay rate
+    simulation_type: str = "gaussian_random_field"
+    cluster_radius: float = 5.0
+    dataset_filename: Optional[str] = None  # for temperature_data_field
+
+    def __post_init__(self):
+        if self.type not in SENSOR_TYPES:
+            raise ConfigError(f"Unknown sensor type '{self.type}'")
+        if self.model_type not in SENSOR_MODEL_TYPES:
+            raise ConfigError(f"Unknown sensor model type '{self.model_type}'")
+        if self.simulation_type not in SIMULATION_TYPES:
+            raise ConfigError(f"Unknown simulation type '{self.simulation_type}'")
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Belief prior hyper-parameters (reference mapping/mappings.py:217-261)."""
+
+    fit_gaussian_process: bool = True
+    prior_cov_mean: float = 0.5
+    prior_cov_std: float = 0.25
+    signal_variance: float = 1.82
+    length_scale: float = 3.67
+    noise_variance: float = 1.42
+    nu: float = 1.5
+
+
+@dataclass(frozen=True)
+class ConstraintsConfig:
+    """Altitude band, lattice spacing, travel budget (reference config/example.yaml:31-36)."""
+
+    dist_to_boundaries: float = 3.0
+    min_altitude: float = 8.0
+    max_altitude: float = 14.0
+    altitude_spacing: float = 6.0
+    budget: float = 200.0
+
+    @property
+    def altitude_levels(self) -> int:
+        return int((self.max_altitude - self.min_altitude) / self.altitude_spacing) + 1
+
+
+@dataclass(frozen=True)
+class ScenarioConfig:
+    """Adaptive region-of-interest scenario (reference config/example.yaml:37-40)."""
+
+    adaptive: bool = True
+    value_threshold: float = 0.4
+    interval_factor: float = 0.0
+
+
+@dataclass(frozen=True)
+class UAVConfig:
+    """UAV dynamics limits (reference config/example.yaml:41-44)."""
+
+    max_v: float = 2.0
+    max_a: float = 2.0
+    sampling_time: float = 2.0
+
+
+@dataclass(frozen=True)
+class MCTSZeroHyperParams:
+    """Learned-planner hyper-parameters; defaults follow the canonical workload
+    (reference config/example.yaml:54-121, constants.py:139-217)."""
+
+    gamma: float = 1.0
+    puct_init: float = 15.0
+    puct_init_decay: float = 0.8
+    puct_init_min: float = 4.0
+    puct_base: float = 10000.0
+    forced_playout_factor: float = 2.0
+    num_mcts_simulations: int = 100
+    max_valid_action_distance: float = 11.5
+    temperature_threshold: int = 40
+    max_episode_steps: int = 40
+    temperature_scale: float = 1.0
+    num_self_play_iterations: int = 40
+    num_episodes: int = 13
+    start_train_examples_history: int = 1
+    train_examples_history_step: int = 2
+    max_train_examples_history: int = 10
+    num_arena_games: int = 40
+    network_update_threshold: float = 0.52
+    learning_rate: float = 0.0005
+    max_learning_rate: float = 0.005
+    weight_decay: float = 0.00003
+    momentum: float = 0.9
+    num_epochs: int = 3
+    batch_size: int = 96
+    num_augmented_samples: int = 0
+    input_channels: int = 16
+    use_fov_input: bool = False
+    use_action_costs_input: bool = True
+    input_history_length: int = 3
+    num_channels: int = 128
+    num_encoder_res_blocks: int = 10
+    num_policy_head_conv_bn_blocks: int = 3
+    num_value_head_conv_bn_blocks: int = 3
+    shared_network: bool = True
+    dropout: float = 0.0
+    max_grad_norm: float = 10.0
+    lr_step_size: int = 10000
+    lr_decay: float = 0.9
+    policy_loss_coeff: float = 1.0
+    value_loss_coeff: float = 1.0
+    reward_loss_coeff: float = 1.0
+    reconstruction_loss_coeff: float = 1.0
+    entropy_regularization_coeff: float = 0.0
+    dirichlet_alpha: float = 1.0
+    dirichlet_alpha_decay: float = 0.8
+    dirichlet_alpha_min: float = 0.3
+    dirichlet_eps: float = 0.25
+    continuous_network_update: bool = True
+    reset_mcts_each_step: bool = True
+    shuffle_train_env_intervals: int = 1
+    shuffle_budget: bool = False
+    shuffle_prior_cov: bool = True
+    num_workers: int = 22  # mapped to self-play batch width on TPU
+    max_inference_batch_size: int = 16  # vestigial: inference is inlined in the jitted search
+    max_waiting_time: float = 10.0
+    non_blocking_read: bool = False
+    use_autoencoder: bool = False
+    use_reward_target: bool = False
+    replay_alpha: float = 0.75
+    replay_beta0: float = 0.4
+    use_per: bool = False
+    mask_policy_head: bool = True
+    use_silu: bool = True
+    use_separable_conv_layers: bool = True
+    log_network_parameters: bool = False
+    use_global_context_mixing: bool = True
+    num_global_pooling_channels: int = 32
+
+
+@dataclass(frozen=True)
+class MissionConfig:
+    """One planner entry in the experiment's mission list
+    (reference planning/mission_factories.py:26-130)."""
+
+    type: str = "greedy"
+    color: str = "blue"
+    config_name: str = "standard"
+    # shared planner knobs
+    episode_horizon: int = 1
+    num_waypoints: int = 100
+    step_size: float = 5.0  # lawnmower sweep spacing
+    # classic MCTS knobs (reference planning/mcts_mission.py)
+    num_simulations: int = 100
+    alpha: float = 0.5  # progressive-widening exponent
+    k: float = 1.0  # progressive-widening factor
+    epsilon: float = 0.2  # ε-greedy expansion/rollout
+    horizontal_spacing: float = 10.0
+    uct_c: float = 1.41
+    gcb_beta: float = 1.0
+    use_gcb_rollout: bool = False
+    num_mcts_workers: int = 1
+    # CMA-ES knobs (reference planning/ipp_masha.py)
+    cma_popsize: int = 12
+    cma_maxiter: int = 20
+    cma_sigma: float = 1.0
+    # mcts_zero
+    model_deployment_filename: str = "trained_model.ckpt"
+    train_examples_iter: int = 0
+    restart_training: bool = False
+    telegram_notifications: bool = False
+    hyper_params: MCTSZeroHyperParams = field(default_factory=MCTSZeroHyperParams)
+
+    def __post_init__(self):
+        if self.type not in MISSION_TYPES:
+            raise ConfigError(f"Unknown mission type '{self.type}'")
+
+
+@dataclass(frozen=True)
+class EvaluationConfig:
+    repetitions: int = 5
+    use_effective_mission_time: bool = False
+    metrics: Tuple[str, ...] = (
+        "num_waypoints",
+        "paths",
+        "uncertainty",
+        "rmse",
+        "wrmse",
+        "mll",
+        "wmll",
+        "run_time",
+    )
+
+
+@dataclass(frozen=True)
+class Config:
+    """Full experiment configuration (one YAML file, reference config/example.yaml)."""
+
+    environment: EnvironmentConfig = field(default_factory=EnvironmentConfig)
+    sensor: SensorConfig = field(default_factory=SensorConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    constraints: ConstraintsConfig = field(default_factory=ConstraintsConfig)
+    scenario: ScenarioConfig = field(default_factory=ScenarioConfig)
+    uav: UAVConfig = field(default_factory=UAVConfig)
+    missions: Tuple[MissionConfig, ...] = (MissionConfig(),)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    title: str = "experiment"
+
+    @property
+    def num_actions(self) -> int:
+        return self.environment.num_cells * self.constraints.altitude_levels
+
+
+def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        logger.warning("Ignoring unknown config keys for %s: %s", cls.__name__, sorted(unknown))
+    return {k: v for k, v in d.items() if k in names}
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    """Build a validated Config from a raw (YAML-loaded) dict.
+
+    Accepts the reference YAML layout (reference config/example.yaml:1-146):
+    nested ``sensor.field_of_view.angle_x``, ``sensor.model.*``,
+    ``sensor.simulation.*``, and ``experiment.{constraints,scenario,uav,
+    missions,evaluation,title}``.
+    """
+    env = EnvironmentConfig(**_filter_fields(EnvironmentConfig, raw.get("environment", {})))
+
+    sensor_raw = dict(raw.get("sensor", {}))
+    fov = sensor_raw.pop("field_of_view", {})
+    model = sensor_raw.pop("model", {})
+    sim = sensor_raw.pop("simulation", {})
+    sensor_flat: Dict[str, Any] = dict(sensor_raw)
+    sensor_flat.update({k: fov[k] for k in ("angle_x", "angle_y") if k in fov})
+    if "type" in model:
+        sensor_flat["model_type"] = model["type"]
+    sensor_flat.update({k: model[k] for k in ("coeff_a", "coeff_b") if k in model})
+    if "type" in sim:
+        sensor_flat["simulation_type"] = sim["type"]
+    sensor_flat.update(
+        {k: sim[k] for k in ("cluster_radius", "dataset_filename") if k in sim}
+    )
+    sensor = SensorConfig(**_filter_fields(SensorConfig, sensor_flat))
+
+    mapping = MappingConfig(**_filter_fields(MappingConfig, raw.get("mapping", {})))
+
+    exp = raw.get("experiment", {})
+    constraints = ConstraintsConfig(**_filter_fields(ConstraintsConfig, exp.get("constraints", {})))
+    scenario = ScenarioConfig(**_filter_fields(ScenarioConfig, exp.get("scenario", {})))
+    uav = UAVConfig(**_filter_fields(UAVConfig, exp.get("uav", {})))
+
+    missions: List[MissionConfig] = []
+    for m in exp.get("missions", [{"type": "greedy"}]):
+        m = dict(m)
+        _require(m, ["type"], "missions[]")
+        hp_raw = m.pop("hyper_params", None)
+        hp = (
+            MCTSZeroHyperParams(**_filter_fields(MCTSZeroHyperParams, hp_raw))
+            if hp_raw is not None
+            else MCTSZeroHyperParams()
+        )
+        missions.append(MissionConfig(hyper_params=hp, **_filter_fields(MissionConfig, m)))
+
+    eval_raw = dict(exp.get("evaluation", {}))
+    if "metrics" in eval_raw:
+        eval_raw["metrics"] = tuple(eval_raw["metrics"])
+    evaluation = EvaluationConfig(**_filter_fields(EvaluationConfig, eval_raw))
+
+    return Config(
+        environment=env,
+        sensor=sensor,
+        mapping=mapping,
+        constraints=constraints,
+        scenario=scenario,
+        uav=uav,
+        missions=tuple(missions),
+        evaluation=evaluation,
+        title=exp.get("title", "experiment"),
+    )
+
+
+def load_config(path: str) -> Config:
+    """Load and validate a YAML config file (reference config/params.py:10-24)."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f)
+    if raw is None:
+        raise ConfigError(f"Config file '{path}' is empty")
+    cfg = config_from_dict(raw)
+    logger.info("Loaded config '%s' (%d missions)", cfg.title, len(cfg.missions))
+    return cfg

@@ -1,0 +1,198 @@
+"""Config-static measurement-model precompute: the ActionTable.
+
+The reference builds the Kalman measurement matrix H and noise matrix R
+per measurement position at runtime with data-dependent shapes
+(reference sensors/models/sensor_models.py:32-81,
+mapping/mappings.py:114-136).  On TPU all shapes must be static under
+jit, and the action lattice is a finite, config-static set — so every
+per-action quantity is precomputed **once at trace time** in numpy and
+baked into the compiled program as constants:
+
+  * ``H``      (A, M, N)  measurement model rows (pad rows all-zero),
+  * ``R_diag`` (A, M)     measurement noise variances (pad entries 1.0 so
+                          Cholesky of the padded innovation stays SPD and
+                          the padded gain columns vanish exactly),
+  * ``Z``      (A, M, N)  exact area-average synthesis matrix used by the
+                          world simulation to generate observations,
+  * masks, FoV footprints, pairwise costs, and valid-action geometry.
+
+Padding correctness: a zero H row makes the corresponding column of
+P·Hᵀ zero, hence the whitened gain column Wc[:, i] = 0 and the padded
+"measurement" contributes nothing to the covariance or mean update —
+bit-for-bit equivalent to the reference's variable-m update.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from ipp_rl_tpu.config.schema import Config
+from ipp_rl_tpu.ops.geometry import (
+    ActionLattice,
+    build_action_lattice,
+    project_field_of_view,
+    resolution_factor,
+)
+
+
+def altitude_noise_variance(altitude: float, coeff_a: float, coeff_b: float) -> float:
+    """σ²(h) = a·(1 − e^{−b·h}) (reference sensors/models/sensor_models.py:27-30)."""
+    return coeff_a * (1.0 - math.exp(-coeff_b * altitude))
+
+
+@dataclass(frozen=True)
+class ActionTable:
+    """All static per-action planner data.  Arrays are numpy (host) —
+    they become on-device constants when closed over by jitted functions."""
+
+    lattice: ActionLattice
+    # Measurement model (Kalman): shapes (A, M, N) / (A, M)
+    H: np.ndarray
+    R_diag: np.ndarray
+    meas_valid: np.ndarray  # (A, M) bool — True for real measurement rows
+    num_meas: np.ndarray  # (A,) int32
+    # World-simulation synthesis: exact area-average of ground truth per
+    # measurement pixel (A, M, N), plus per-action noise std (A,)
+    Z: np.ndarray
+    noise_std: np.ndarray
+    # Geometry
+    fov_mask: np.ndarray  # (A, N) bool — grid cells inside the FoV footprint
+    fov_rect: np.ndarray  # (A, 4) int32 — (xl, xr, yu, yd) inclusive
+    res_factor: np.ndarray  # (A,) int32
+    # Pairwise action geometry (A, A)
+    pair_dist: np.ndarray
+    pair_cost: np.ndarray  # flight-time cost with the configured UAV
+
+    @property
+    def num_actions(self) -> int:
+        return self.lattice.num_actions
+
+    @property
+    def max_meas(self) -> int:
+        return self.H.shape[1]
+
+
+def _fov_measurement_layout(
+    xl: int, xr: int, yu: int, yd: int, rf: int
+) -> Tuple[int, int, int]:
+    """Number of measurement pixels (rows in H) covering the FoV rect when
+    downsampled by ``rf`` (reference mapping/mappings.py:126)."""
+    w = xr - xl + 1
+    h = yd - yu + 1
+    nx = math.ceil(w / rf)
+    ny = math.ceil(h / rf)
+    return nx, ny, nx * ny
+
+
+def _action_measurement_model(
+    cfg: Config, xl: int, xr: int, yu: int, yd: int, rf: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build (m, N) H and (m, N) Z for one action.
+
+    H semantics follow the reference exactly (reference
+    sensors/models/sensor_models.py:54-81): measurement pixel i covers the
+    rf×rf block of FoV cells starting at (rf·(i % nx), rf·(i // nx)),
+    clipped at the FoV edge; every covered cell gets weight 1/rf², except
+    partial blocks (fewer than rf² cells) where the weight is 1/rf.
+
+    Z gives the *exact block mean* (weight 1/k for a k-cell block) — the
+    physically consistent synthesis operator for the simulated camera
+    (reference downsamples via cv2 INTER_AREA,
+    simulations/sensor_manipulations.py:7-26).
+    """
+    x_dim = cfg.environment.x_dim
+    n = cfg.environment.num_cells
+    nx, ny, m = _fov_measurement_layout(xl, xr, yu, yd, rf)
+    w = xr - xl + 1
+    h = yd - yu + 1
+    H = np.zeros((m, n), dtype=np.float64)
+    Z = np.zeros((m, n), dtype=np.float64)
+    for i in range(m):
+        by = i // nx
+        bx = i % nx
+        x0, x1 = bx * rf, min(bx * rf + rf, w)
+        y0, y1 = by * rf, min(by * rf + rf, h)
+        cells = [
+            (yu + yy) * x_dim + (xl + xx)
+            for yy in range(y0, y1)
+            for xx in range(x0, x1)
+        ]
+        k = len(cells)
+        weight = 1.0 / (rf * rf) if k == rf * rf else 1.0 / rf
+        H[i, cells] = weight
+        Z[i, cells] = 1.0 / k
+    return H, Z
+
+
+def build_action_table(cfg: Config) -> ActionTable:
+    """Precompute the full per-action measurement-model table from config."""
+    lattice = build_action_lattice(cfg)
+    sensor = cfg.sensor
+    n = cfg.environment.num_cells
+    a_count = lattice.num_actions
+
+    rects = np.zeros((a_count, 4), dtype=np.int32)
+    rfs = np.zeros((a_count,), dtype=np.int32)
+    num_meas = np.zeros((a_count,), dtype=np.int32)
+    h_list, z_list = [], []
+    for a in range(a_count):
+        pos = lattice.xyz[a]
+        xl, xr, yu, yd = project_field_of_view(pos, cfg)
+        rf = resolution_factor(pos[2])
+        rects[a] = (xl, xr, yu, yd)
+        rfs[a] = rf
+        H_a, Z_a = _action_measurement_model(cfg, xl, xr, yu, yd, rf)
+        num_meas[a] = H_a.shape[0]
+        h_list.append(H_a)
+        z_list.append(Z_a)
+
+    m_max = int(num_meas.max())
+    H = np.zeros((a_count, m_max, n), dtype=np.float64)
+    Z = np.zeros((a_count, m_max, n), dtype=np.float64)
+    R_diag = np.ones((a_count, m_max), dtype=np.float64)
+    meas_valid = np.zeros((a_count, m_max), dtype=bool)
+    noise_std = np.zeros((a_count,), dtype=np.float64)
+    for a in range(a_count):
+        m = num_meas[a]
+        H[a, :m] = h_list[a]
+        Z[a, :m] = z_list[a]
+        var = altitude_noise_variance(
+            float(lattice.xyz[a, 2]), sensor.coeff_a, sensor.coeff_b
+        )
+        # R = rf³ · σ²(h) · I (reference sensors/models/sensor_models.py:32-36)
+        R_diag[a, :m] = (rfs[a] ** 3) * var
+        meas_valid[a, :m] = True
+        noise_std[a] = math.sqrt(var)
+
+    fov_mask = np.zeros((a_count, n), dtype=bool)
+    x_dim = cfg.environment.x_dim
+    for a in range(a_count):
+        xl, xr, yu, yd = rects[a]
+        for yy in range(yu, yd + 1):
+            fov_mask[a, yy * x_dim + xl : yy * x_dim + xr + 1] = True
+
+    diff = lattice.xyz[:, None, :] - lattice.xyz[None, :, :]
+    pair_dist = np.sqrt(np.sum(diff * diff, axis=-1))
+    uav = cfg.uav
+    d_acc = np.minimum(0.5 * pair_dist, uav.max_v**2 / (2.0 * uav.max_a))
+    d_const = pair_dist - 2.0 * d_acc
+    pair_cost = d_const / uav.max_v + 2.0 * np.sqrt(2.0 * d_acc / uav.max_a)
+
+    return ActionTable(
+        lattice=lattice,
+        H=H,
+        R_diag=R_diag,
+        meas_valid=meas_valid,
+        num_meas=num_meas,
+        Z=Z,
+        noise_std=noise_std,
+        fov_mask=fov_mask,
+        fov_rect=rects,
+        res_factor=rfs,
+        pair_dist=pair_dist,
+        pair_cost=pair_cost,
+    )

@@ -1,0 +1,8 @@
+from ipp_rl_tpu.planners.base import MissionResult, Planner, sweep_rewards  # noqa: F401
+from ipp_rl_tpu.planners.greedy import GreedyPlanner  # noqa: F401
+from ipp_rl_tpu.planners.static_paths import (  # noqa: F401
+    LawnmowerPlanner,
+    RandomContinuousPlanner,
+    RandomDiscretePlanner,
+    SpiralPlanner,
+)

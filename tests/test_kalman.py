@@ -1,0 +1,157 @@
+"""Numerical unit tests for the Kalman kernels against an independent
+numpy float64 oracle implementing the reference update semantics
+(reference mapping/mappings.py:155-215: symmetrized innovation, Cholesky
+gain, P ← P − Wc·Wcᵀ)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipp_rl_tpu.ops.kalman import (
+    kf_gain_factor,
+    kf_sweep_gains,
+    kf_trace_reduction,
+    kf_update,
+)
+
+
+def oracle_kf(P, H, R, x=None, z=None):
+    """Textbook Joseph-free KF with Cholesky gain, float64."""
+    S = H @ P @ H.T + R
+    S = 0.5 * (S + S.T)
+    L = np.linalg.cholesky(S)
+    Linv = np.linalg.inv(L)
+    Wc = P @ H.T @ Linv.T
+    P_next = P - Wc @ Wc.T
+    if z is None:
+        return None, P_next
+    W = Wc @ Linv
+    x_next = x + W @ (z - H @ x)
+    return x_next, P_next
+
+
+def random_spd(rng, n):
+    A = rng.normal(size=(n, n))
+    return A @ A.T / n + 0.5 * np.eye(n)
+
+
+@pytest.fixture
+def problem():
+    rng = np.random.default_rng(0)
+    n, m = 25, 6
+    P = random_spd(rng, n)
+    H = np.zeros((m, n))
+    for i in range(m):
+        cells = rng.choice(n, size=4, replace=False)
+        H[i, cells] = 0.25
+    R = np.diag(rng.uniform(0.01, 0.1, m))
+    x = rng.uniform(0, 1, n)
+    z = rng.uniform(0, 1, m)
+    return P, H, R, x, z
+
+
+def test_kf_update_matches_oracle(problem):
+    P, H, R, x, z = problem
+    x_ref, P_ref = oracle_kf(P, H, R, x, z)
+    x_out, P_out = kf_update(jnp.asarray(P), jnp.asarray(x), jnp.asarray(H), jnp.asarray(np.diag(R)), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(P_out), P_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x_out), x_ref, atol=1e-10)
+
+
+def test_cov_only_update(problem):
+    P, H, R, x, z = problem
+    _, P_ref = oracle_kf(P, H, R)
+    mean_out, P_out = kf_update(jnp.asarray(P), jnp.asarray(x), jnp.asarray(H), jnp.asarray(np.diag(R)), z=None)
+    np.testing.assert_allclose(np.asarray(P_out), P_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mean_out), x)  # mean untouched
+
+
+def test_padded_rows_are_noop(problem):
+    """Zero H rows with unit R must not change the update — the static-shape
+    padding contract (ops/sensor_model.py docstring)."""
+    P, H, R, x, z = problem
+    m_pad = 4
+    H_pad = np.vstack([H, np.zeros((m_pad, H.shape[1]))])
+    R_pad = np.concatenate([np.diag(R), np.ones(m_pad)])
+    z_pad = np.concatenate([z, 0.37 * np.ones(m_pad)])  # pad obs arbitrary
+    x_ref, P_ref = oracle_kf(P, H, R, x, z)
+    x_out, P_out = kf_update(
+        jnp.asarray(P), jnp.asarray(x), jnp.asarray(H_pad), jnp.asarray(R_pad), jnp.asarray(z_pad)
+    )
+    np.testing.assert_allclose(np.asarray(P_out), P_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x_out), x_ref, atol=1e-10)
+
+
+def test_posterior_psd_and_trace_monotone(problem):
+    P, H, R, x, z = problem
+    _, P_out = kf_update(jnp.asarray(P), jnp.asarray(x), jnp.asarray(H), jnp.asarray(np.diag(R)), z=None)
+    P_out = np.asarray(P_out)
+    np.testing.assert_allclose(P_out, P_out.T, atol=1e-12)
+    eigs = np.linalg.eigvalsh(P_out)
+    assert eigs.min() > -1e-10
+    assert np.trace(P_out) < np.trace(P)
+
+
+def test_gain_factor_trace_identity(problem):
+    """tr(P) − tr(P') == ‖Wc‖²_F — the planner fast-path identity."""
+    P, H, R, x, z = problem
+    Wc, _ = kf_gain_factor(jnp.asarray(P), jnp.asarray(H), jnp.asarray(np.diag(R)))
+    _, P_out = oracle_kf(P, H, R)
+    gain = float(jnp.sum(Wc * Wc))
+    np.testing.assert_allclose(gain, np.trace(P) - np.trace(P_out), rtol=1e-10)
+
+
+def test_trace_reduction_masked(problem):
+    P, H, R, x, z = problem
+    n = P.shape[0]
+    rng = np.random.default_rng(1)
+    mask = (rng.uniform(size=n) > 0.5).astype(np.float64)
+    _, P_out = oracle_kf(P, H, R)
+    expected = np.sum((np.diag(P) - np.diag(P_out)) * mask)
+    got = float(
+        kf_trace_reduction(
+            jnp.asarray(P), jnp.asarray(H), jnp.asarray(np.diag(R)), jnp.asarray(mask)
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_sweep_matches_individual_updates(problem):
+    """kf_sweep_gains over a stack of measurement models == per-action
+    trace reductions (replaces reference optimization.py:82-90 pool)."""
+    P, H, R, x, z = problem
+    rng = np.random.default_rng(2)
+    n, m = P.shape[0], H.shape[0]
+    A = 7
+    H_all = np.zeros((A, m, n))
+    R_all = np.zeros((A, m))
+    for a in range(A):
+        for i in range(m):
+            cells = rng.choice(n, size=3, replace=False)
+            H_all[a, i, cells] = 1 / 3
+        R_all[a] = rng.uniform(0.01, 0.2, m)
+    # make one action partially padded
+    H_all[3, -2:] = 0.0
+    R_all[3, -2:] = 1.0
+
+    gains = np.asarray(
+        kf_sweep_gains(jnp.asarray(P), jnp.asarray(H_all), jnp.asarray(R_all))
+    )
+    for a in range(A):
+        _, P_out = oracle_kf(P, H_all[a], np.diag(R_all[a]))
+        np.testing.assert_allclose(gains[a], np.trace(P) - np.trace(P_out), rtol=1e-8)
+
+
+def test_sweep_vmaps_over_batch(problem):
+    P, H, R, x, z = problem
+    rng = np.random.default_rng(3)
+    P2 = random_spd(rng, P.shape[0])
+    H_all = np.stack([H, H * 0.5])
+    R_all = np.stack([np.diag(R), np.diag(R) * 2])
+    batched = jax.vmap(lambda p: kf_sweep_gains(p, jnp.asarray(H_all), jnp.asarray(R_all)))(
+        jnp.stack([jnp.asarray(P), jnp.asarray(P2)])
+    )
+    assert batched.shape == (2, 2)
+    single = kf_sweep_gains(jnp.asarray(P2), jnp.asarray(H_all), jnp.asarray(R_all))
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single), rtol=1e-12)

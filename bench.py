@@ -1,0 +1,98 @@
+"""Headline benchmark: batched greedy replan throughput on one chip.
+
+Each replan step = full all-action Kalman sweep (200 candidate
+covariance updates per mission) + argmax + measurement synthesis +
+mean/cov commit + metric eval — the reference's per-step work
+(reference planning/greedy_mission.py:73-110 with Pool(4) over the
+action set), here for thousands of missions in one fused program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+4096 missions replanned in <=10 ms on a v4-16 (8 chips) == 51200
+replans/s/chip; >1.0 beats the target.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from ipp_rl_tpu import load_config
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.planners import GreedyPlanner
+    import os
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "ipp_rl_tpu/config/example.yaml")
+    cfg = load_config(cfg_path)
+    world = IPPWorld(cfg)
+    planner = GreedyPlanner(world, MissionConfig(type="greedy"))
+
+    B, K = args.batch, args.steps
+
+    def replan_block(state, key):
+        """K replan steps (plan + measure + commit), fully on device."""
+
+        def step(carry, k):
+            st = carry
+            k_plan, k_meas = jax.random.split(k)
+            action = planner.plan(st, k_plan, jnp.int32(0))
+            st = world.step_index(st, action, k_meas)
+            return st, None
+
+        keys = jax.random.split(key, K)
+        state, _ = jax.lax.scan(step, state, keys)
+        return state
+
+    block = jax.jit(replan_block, donate_argnums=(0,))
+
+    state = world.init_state(jax.random.key(0), B)
+    state = block(state, jax.random.key(1))  # compile + warmup
+    jax.block_until_ready(state)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state = block(state, jax.random.key(2 + r))
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    replans_per_s = B * K / best
+    ms_per_step = best / K * 1e3
+
+    # north star: 4096 missions / 10 ms on 8 chips -> 51200 replans/s/chip
+    target = 4096 / 0.010 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "greedy_replans_per_s_per_chip",
+                "value": round(replans_per_s, 1),
+                "unit": "replans/s",
+                "vs_baseline": round(replans_per_s / target, 3),
+                "detail": {
+                    "batch": B,
+                    "steps_per_block": K,
+                    "ms_per_replan_step": round(ms_per_step, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

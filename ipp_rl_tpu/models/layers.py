@@ -159,6 +159,10 @@ class MixGlobalContext(nn.Module):
     def __call__(self, x, train: bool = False):
         act = nonlinearity_fn(self.use_silu)
         g = self.num_global_pooling_channels
+        assert g < self.features, (
+            f"num_global_pooling_channels ({g}) must be < num_channels "
+            f"({self.features})"
+        )
         identity = (
             nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride))(x)
             if self.stride > 1

@@ -1,0 +1,5 @@
+from ipp_rl_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)

@@ -1,0 +1,586 @@
+"""Batched neural PUCT search — the flagship planner's engine.
+
+The reference implements AlphaZero-style MCTS with Python dict
+transposition tables keyed by ``hash(str(cov_matrix))`` and a separate
+GPU inference-server process fed over multiprocessing queues (reference
+planning/mcts_zero/mcts.py:16-296, inference_workers.py:38-127).  Here
+the whole search is ONE jitted program over a mission batch:
+
+  * array tree (mctx-style): preallocated per-mission node arrays — no
+    dicts, no hashing.  The reference's transposition merging is
+    path-keyed here; since the hash key ignores position/budget anyway,
+    path-keying is the more correct variant (documented deviation).
+  * covariance states are never stored per node.  Each tree edge stores
+    its rank-M whitened gain factor Wc (P_child = P_parent − Wc·Wcᵀ),
+    and the running covariance is reconstructed incrementally during
+    descent — 4 MB/mission/tree collapses to ~360 KB (SURVEY.md §7.5).
+  * network inference is inlined: all missions' leaf evaluations fuse
+    into one batched forward per simulation — the queue/batching server
+    disappears.
+  * KataGo ingredients preserved exactly: min-max-normalized Q in PUCT
+    (reference mcts.py:267-284), forced playouts √(k·P·N) at the root
+    (:286-293), Dirichlet root noise on first expansion (:160-164),
+    and policy-target pruning of forced playouts in closed form
+    (:99-128 — the reference's per-action decrement loop solves to a
+    threshold v* = ⌊K/(max_puct − q)⌋ + 1, see ``prune_forced_visits``).
+
+Per-sim history semantics: each simulation's leaf features use the
+episode history extended by the states along the current search path.
+(The reference mutates one shared history object across simulations,
+reference mcts.py:178 — we reset to the episode history each sim, the
+clean variant of the same intent.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ipp_rl_tpu.config.schema import Config, MCTSZeroHyperParams
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.ops.rewards import adaptive_mask
+from ipp_rl_tpu.planners.zero.features import EpisodeHistory, feature_planes, push_history
+
+NO_CHILD = jnp.int32(-1)
+ROOT_ACTION = jnp.int32(-1)
+
+
+class Tree(NamedTuple):
+    """Per-mission search tree; all arrays have leading node capacity C.
+
+    vmapped over the mission batch — a (B,)-batched Tree is "the forest".
+    """
+
+    parent: jnp.ndarray  # (C,) int32
+    action_in: jnp.ndarray  # (C,) int32 — lattice action taken from parent
+    reward_in: jnp.ndarray  # (C,) — edge reward (info gain / cost+1)
+    wc_in: jnp.ndarray  # (C, N, M) — edge whitened gain factor
+    budget: jnp.ndarray  # (C,) — remaining budget at node
+    depth: jnp.ndarray  # (C,) int32
+    expanded: jnp.ndarray  # (C,) bool — network-evaluated
+    children: jnp.ndarray  # (C, A) int32
+    Nsa: jnp.ndarray  # (C, A)
+    Qsa: jnp.ndarray  # (C, A)
+    prior: jnp.ndarray  # (C, A)
+    valid: jnp.ndarray  # (C, A) bool
+    Ns: jnp.ndarray  # (C,)
+    next_free: jnp.ndarray  # () int32
+
+
+def init_tree(num_sims: int, num_actions: int, n: int, m: int, dtype) -> Tree:
+    c = num_sims + 2
+    return Tree(
+        parent=jnp.full((c,), NO_CHILD),
+        action_in=jnp.full((c,), ROOT_ACTION),
+        reward_in=jnp.zeros((c,), dtype),
+        wc_in=jnp.zeros((c, n, m), dtype),
+        budget=jnp.zeros((c,), dtype),
+        depth=jnp.zeros((c,), jnp.int32),
+        expanded=jnp.zeros((c,), bool),
+        children=jnp.full((c, num_actions), NO_CHILD),
+        Nsa=jnp.zeros((c, num_actions), dtype),
+        Qsa=jnp.zeros((c, num_actions), dtype),
+        prior=jnp.zeros((c, num_actions), dtype),
+        valid=jnp.zeros((c, num_actions), bool),
+        Ns=jnp.zeros((c,), dtype),
+        next_free=jnp.int32(1),
+    )
+
+
+def normalize_q(values: jnp.ndarray) -> jnp.ndarray:
+    """Min-max normalization with the reference's degenerate-case rules
+    (reference mcts.py:267-278): all-zero → zeros; min==max → v/max."""
+    lo, hi = jnp.min(values), jnp.max(values)
+    all_zero = jnp.all(values == 0)
+    same = lo == hi
+    safe_hi = jnp.where(hi == 0, 1.0, hi)
+    out = jnp.where(same, values / safe_hi, (values - lo) / (hi - lo))
+    return jnp.where(all_zero, values, out)
+
+
+def _rand_argmax(key: jax.Array, scores: jnp.ndarray) -> jnp.ndarray:
+    """Uniform choice among maxima (reference mcts.py:236 np.random.choice)."""
+    is_max = scores == jnp.max(scores)
+    logits = jnp.where(is_max, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits)
+
+
+class ZeroMCTS:
+    """Batched PUCT search bound to a world + network.
+
+    ``search`` runs ``num_simulations`` lockstep simulations for B
+    missions and returns the visit-count policy (reference
+    mcts.py:83-143 get_policy).
+    """
+
+    def __init__(
+        self,
+        world: IPPWorld,
+        hp: MCTSZeroHyperParams,
+        episode_horizon: int,
+        predict_fn,  # (planes (B,S,S,C), masks (B,A)) -> (policy, value)
+    ):
+        self.world = world
+        self.hp = hp
+        self.horizon = episode_horizon
+        self.predict = predict_fn
+        cfg = world.cfg
+        self.A = world.num_actions
+        self.N = cfg.environment.num_cells
+        self.M = world.H.shape[1]
+        self.L = hp.input_history_length
+
+    # ----------------------------------------------------------- primitives
+
+    def valid_actions(self, pos: jnp.ndarray, budget: jnp.ndarray) -> jnp.ndarray:
+        """Distance-gated feasibility (reference mcts.py:148-153: Euclidean
+        distances vs budget and max_valid_action_distance)."""
+        d = jnp.sqrt(
+            jnp.sum(jnp.square(self.world.actions_xyz - pos[None, :]), axis=-1)
+        )
+        return (d > 0) & (d <= budget) & (d < self.hp.max_valid_action_distance)
+
+    def edge_update(
+        self, P: jnp.ndarray, a: jnp.ndarray, diag_mask: Optional[jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """KF covariance-only update for action ``a`` against running
+        covariance P: returns (Wc (N, M), gain) — one simulate_prediction_step
+        (reference planning/common/optimization.py:14-30)."""
+        H = self.world.H[a]  # (M, N)
+        R = self.world.R_diag[a]
+        PHt = P @ H.T
+        S = H @ PHt + jnp.diag(R)
+        S = 0.5 * (S + S.T)
+        L = jnp.linalg.cholesky(S)
+        WcT = solve_triangular(L, PHt.T, lower=True)  # (M, N)
+        sq = jnp.sum(WcT * WcT, axis=0)  # (N,)
+        if diag_mask is not None:
+            sq = sq * diag_mask
+        return WcT.T, jnp.sum(sq)
+
+    def puct(
+        self,
+        tree: Tree,
+        node: jnp.ndarray,
+        puct_init: jnp.ndarray,
+        force: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """PUCT scores for one node (reference mcts.py:280-296)."""
+        hp = self.hp
+        q = normalize_q(tree.Qsa[node])
+        ns = tree.Ns[node]
+        c = puct_init + jnp.log((ns + hp.puct_base + 1.0) / hp.puct_base)
+        prior_score = c * tree.prior[node] * (jnp.sqrt(ns + 1.0) / (1.0 + tree.Nsa[node]))
+        uct = q + prior_score
+        num_forced = jnp.ceil(
+            jnp.sqrt(hp.forced_playout_factor * tree.prior[node] * ns)
+        )
+        num_forced = jnp.where(tree.Nsa[node] == 0, 0.0, num_forced)
+        forced = force & (tree.Nsa[node] < num_forced)
+        uct = jnp.where(forced, jnp.inf, uct)
+        return jnp.where(tree.valid[node], uct, -jnp.inf)
+
+    # ------------------------------------------------------------ simulation
+
+    def _simulate_one(
+        self,
+        tree: Tree,
+        P_root: jnp.ndarray,
+        root_pos: jnp.ndarray,
+        mean_root: jnp.ndarray,
+        hist0: EpisodeHistory,
+        puct_init: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """Selection + expansion for ONE mission (no NN eval — planes are
+        returned for the batched forward).  Returns updated tree, the path,
+        and the leaf's feature planes/mask."""
+        cfg = self.world.cfg
+        dt = tree.Qsa.dtype
+        Hc = self.horizon + 1  # max path edges
+        diag_mask = None
+        if cfg.scenario.adaptive:
+            # adaptive mask vs ROOT mean/state (constant during search,
+            # reference mcts.py:73-81 get_adaptive_info)
+            diag_mask = adaptive_mask(
+                mean_root,
+                jnp.diag(P_root),
+                cfg.scenario.value_threshold,
+                cfg.scenario.interval_factor,
+            )
+
+        class Carry(NamedTuple):
+            tree: Tree
+            node: jnp.ndarray
+            P: jnp.ndarray
+            budget: jnp.ndarray
+            prev_pos: jnp.ndarray  # (3,)
+            depth: jnp.ndarray
+            hist: EpisodeHistory
+            done: jnp.ndarray  # stop descending
+            leaf: jnp.ndarray  # node to NN-evaluate (-1 = terminal)
+            path_nodes: jnp.ndarray  # (Hc,)
+            path_actions: jnp.ndarray  # (Hc,)
+            path_rewards: jnp.ndarray  # (Hc,)
+            path_len: jnp.ndarray
+            key: jax.Array
+
+        init_budget = tree.budget[0]
+        hist_root = push_history(
+            hist0, P_root, root_pos, init_budget / jnp.asarray(cfg.constraints.budget, dt)
+        )
+
+        carry = Carry(
+            tree=tree,
+            node=jnp.int32(0),
+            P=P_root,
+            budget=init_budget,
+            prev_pos=root_pos,
+            depth=jnp.int32(0),
+            hist=hist_root,
+            done=jnp.bool_(False),
+            leaf=jnp.int32(-1),
+            path_nodes=jnp.full((Hc,), NO_CHILD),
+            path_actions=jnp.full((Hc,), ROOT_ACTION),
+            path_rewards=jnp.zeros((Hc,), dt),
+            path_len=jnp.int32(0),
+            key=key,
+        )
+
+        def step(i, c: Carry) -> Carry:
+            tree = c.tree
+            # terminal: past horizon or out of budget
+            terminal = (c.depth > self.horizon) | (c.budget <= 0)
+            # unexpanded node → this is the NN leaf
+            is_leaf = ~tree.expanded[c.node] & ~terminal
+            newly_done = ~c.done & (terminal | is_leaf)
+            leaf = jnp.where(newly_done & is_leaf, c.node, c.leaf)
+            done = c.done | terminal | is_leaf
+
+            k_sel, k_next = jax.random.split(c.key)
+            uct = self.puct(tree, c.node, puct_init, force=(c.depth == 0))
+            a = _rand_argmax(k_sel, uct)
+
+            # edge dynamics (discarded when done — masked below)
+            Wc, gain = self.edge_update(c.P, a, diag_mask)
+            cost = _flight_cost(self.world, c.prev_pos, a).astype(dt)
+            reward = gain / (cost + 1.0)
+
+            existing = tree.children[c.node, a]
+            need_new = (existing == NO_CHILD) & ~done
+            new_idx = tree.next_free
+            child = jnp.where(need_new, new_idx, existing)
+
+            # allocate child node
+            def alloc(tr: Tree) -> Tree:
+                return tr._replace(
+                    parent=tr.parent.at[new_idx].set(c.node),
+                    action_in=tr.action_in.at[new_idx].set(a),
+                    reward_in=tr.reward_in.at[new_idx].set(reward),
+                    wc_in=tr.wc_in.at[new_idx].set(Wc),
+                    budget=tr.budget.at[new_idx].set(c.budget - cost),
+                    depth=tr.depth.at[new_idx].set(c.depth + 1),
+                    children=tr.children.at[c.node, a].set(new_idx),
+                    next_free=tr.next_free + 1,
+                )
+
+            tree = jax.lax.cond(need_new, alloc, lambda tr: tr, tree)
+
+            # move into child, subtract the edge factor from running P
+            move = ~done
+            P_next = jnp.where(
+                move, c.P - tree.wc_in[child] @ tree.wc_in[child].T, c.P
+            )
+            budget_next = jnp.where(move, tree.budget[child], c.budget)
+            hist_next = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(move, new, old),
+                push_history(
+                    c.hist,
+                    P_next,
+                    self.world.actions_xyz[a],
+                    budget_next / jnp.asarray(cfg.constraints.budget, dt),
+                ),
+                c.hist,
+            )
+
+            return Carry(
+                tree=tree,
+                node=jnp.where(move, child, c.node),
+                P=P_next,
+                budget=budget_next,
+                prev_pos=jnp.where(move, self.world.actions_xyz[a], c.prev_pos),
+                depth=jnp.where(move, c.depth + 1, c.depth),
+                hist=hist_next,
+                done=done,
+                leaf=leaf,
+                path_nodes=c.path_nodes.at[i].set(jnp.where(move, c.node, NO_CHILD)),
+                path_actions=c.path_actions.at[i].set(jnp.where(move, a, ROOT_ACTION)),
+                path_rewards=c.path_rewards.at[i].set(
+                    jnp.where(move, tree.reward_in[child], 0.0)
+                ),
+                path_len=jnp.where(move, c.path_len + 1, c.path_len),
+                key=k_next,
+            )
+
+        carry = jax.lax.fori_loop(0, Hc, step, carry)
+
+        # leaf evaluation inputs
+        leaf_exists = carry.leaf >= 0
+        planes = feature_planes(self.world, self.hp, carry.hist, mean=mean_root)
+        leaf_pos = jnp.where(
+            carry.path_len > 0,
+            self.world.actions_xyz[
+                jnp.maximum(carry.path_actions[jnp.maximum(carry.path_len - 1, 0)], 0)
+            ],
+            root_pos,
+        )
+        leaf_mask = self.valid_actions(leaf_pos, carry.budget)
+        return (
+            carry.tree,
+            carry.path_nodes,
+            carry.path_actions,
+            carry.path_rewards,
+            carry.path_len,
+            carry.leaf,
+            planes,
+            leaf_mask,
+            leaf_pos,
+        )
+
+    def _integrate_eval(
+        self,
+        tree: Tree,
+        leaf: jnp.ndarray,
+        policy: jnp.ndarray,
+        value: jnp.ndarray,
+        leaf_mask: jnp.ndarray,
+        is_root_first: jnp.ndarray,
+        dirichlet_alpha: jnp.ndarray,
+        key: jax.Array,
+    ) -> Tuple[Tree, jnp.ndarray]:
+        """Store the network prior/valid mask at the leaf (reference
+        mcts.py:185-233), adding Dirichlet noise at the root's first
+        evaluation (:160-164, 221-222)."""
+        hp = self.hp
+        dt = tree.prior.dtype
+        leaf_ok = leaf >= 0
+        idx = jnp.maximum(leaf, 0)
+
+        p = policy * leaf_mask.astype(dt)
+        noise = jax.random.dirichlet(key, jnp.full((self.A,), dirichlet_alpha, dt))
+        p_noised = (1.0 - hp.dirichlet_eps) * p + hp.dirichlet_eps * noise
+        p = jnp.where(is_root_first & leaf_ok, p_noised * leaf_mask.astype(dt), p)
+        s = jnp.sum(p)
+        # degenerate-policy repair (reference mcts.py:224-229)
+        p = jnp.where(s > 0, p / jnp.maximum(s, 1e-30), leaf_mask.astype(dt))
+        s2 = jnp.sum(p)
+        p = p / jnp.maximum(s2, 1e-30)
+
+        no_valid = jnp.sum(leaf_mask) == 0
+        value_out = jnp.where(leaf_ok & ~no_valid, value, 0.0)
+
+        def write(tr: Tree) -> Tree:
+            return tr._replace(
+                prior=tr.prior.at[idx].set(p),
+                valid=tr.valid.at[idx].set(leaf_mask),
+                expanded=tr.expanded.at[idx].set(True),
+                Ns=tr.Ns.at[idx].set(0.0),
+            )
+
+        tree = jax.lax.cond(leaf_ok & ~no_valid, write, lambda tr: tr, tree)
+        return tree, value_out
+
+    def _backup(
+        self,
+        tree: Tree,
+        path_nodes: jnp.ndarray,
+        path_actions: jnp.ndarray,
+        path_rewards: jnp.ndarray,
+        path_len: jnp.ndarray,
+        leaf_value: jnp.ndarray,
+    ) -> Tree:
+        """Backward accumulation G_k = r_k + γ·G_{k+1}; Q ← (N·Q + G)/(N+1)
+        (reference mcts.py:250-265)."""
+        hp = self.hp
+        Hc = path_nodes.shape[0]
+
+        def body(i, carry):
+            tree, G = carry
+            k = Hc - 1 - i
+            on_path = k < path_len
+            node = jnp.maximum(path_nodes[k], 0)
+            a = jnp.maximum(path_actions[k], 0)
+            G_new = path_rewards[k] + hp.gamma * G
+
+            nsa = tree.Nsa[node, a]
+            q_new = jnp.where(
+                nsa > 0, (nsa * tree.Qsa[node, a] + G_new) / (nsa + 1.0), G_new
+            )
+
+            def upd(tr: Tree) -> Tree:
+                return tr._replace(
+                    Qsa=tr.Qsa.at[node, a].set(q_new),
+                    Nsa=tr.Nsa.at[node, a].add(1.0),
+                    Ns=tr.Ns.at[node].add(1.0),
+                )
+
+            tree = jax.lax.cond(on_path, upd, lambda tr: tr, tree)
+            return tree, jnp.where(on_path, G_new, G)
+
+        tree, _ = jax.lax.fori_loop(0, Hc, body, (tree, leaf_value))
+        return tree
+
+    # --------------------------------------------------------------- search
+
+    def search(
+        self,
+        cov: jnp.ndarray,  # (B, N, N) root covariances
+        mean: jnp.ndarray,  # (B, N) root means
+        pos: jnp.ndarray,  # (B, 3) current positions
+        budget: jnp.ndarray,  # (B,)
+        history: EpisodeHistory,  # (B,)-batched episode history
+        key: jax.Array,
+        puct_init: Optional[float] = None,
+        dirichlet_alpha: Optional[float] = None,
+        num_simulations: Optional[int] = None,
+    ) -> Tuple[Tree, jnp.ndarray]:
+        """Run the full search; returns the (B,)-batched trees and the
+        root valid-action masks."""
+        hp = self.hp
+        B = cov.shape[0]
+        dt = cov.dtype
+        sims = num_simulations or hp.num_mcts_simulations
+        p_init = jnp.asarray(
+            hp.puct_init if puct_init is None else puct_init, dt
+        )
+        d_alpha = jnp.asarray(
+            hp.dirichlet_alpha if dirichlet_alpha is None else dirichlet_alpha, dt
+        )
+
+        one_tree = init_tree(sims, self.A, self.N, self.M, dt)
+        tree = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), one_tree
+        )
+        tree = tree._replace(budget=tree.budget.at[:, 0].set(budget))
+
+        root_mask = jax.vmap(self.valid_actions)(pos, budget)
+
+        def sim_step(carry, k):
+            tree, first = carry
+            k_sel, k_noise = jax.random.split(k)
+            sel_keys = jax.random.split(k_sel, B)
+            noise_keys = jax.random.split(k_noise, B)
+
+            (tree, p_nodes, p_actions, p_rewards, p_len, leaf, planes, leaf_mask, _) = (
+                jax.vmap(
+                    lambda tr, P, ps, mn, h, kk: self._simulate_one(
+                        tr, P, ps, mn, h, p_init, kk
+                    )
+                )(tree, cov, pos, mean, history, sel_keys)
+            )
+            policy, value = self.predict(planes, leaf_mask.astype(dt))
+            is_root_first = first & (leaf == 0)
+            tree, leaf_value = jax.vmap(
+                lambda tr, lf, po, va, lm, rf, kk: self._integrate_eval(
+                    tr, lf, po, va, lm, rf, d_alpha, kk
+                )
+            )(tree, leaf, policy, value, leaf_mask, is_root_first, noise_keys)
+            tree = jax.vmap(self._backup)(
+                tree, p_nodes, p_actions, p_rewards, p_len, leaf_value
+            )
+            return (tree, first & ~(leaf == 0)), None
+
+        keys = jax.random.split(key, sims)
+        (tree, _), _ = jax.lax.scan(sim_step, (tree, jnp.ones((B,), bool)), keys)
+        return tree, root_mask
+
+    # ------------------------------------------------------- policy readout
+
+    def root_policy(
+        self,
+        tree: Tree,
+        key: jax.Array,
+        temperature: jnp.ndarray,
+        deploy_time: bool = False,
+        puct_init: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """Visit-count policy with forced-playout pruning (training) or raw
+        visits (deploy) (reference mcts.py:96-143)."""
+        B = tree.Ns.shape[0]
+        keys = jax.random.split(key, B)
+        p_init = jnp.asarray(
+            self.hp.puct_init if puct_init is None else puct_init, tree.Qsa.dtype
+        )
+
+        def one(tr: Tree, k: jax.Array):
+            visits = tr.Nsa[0]
+            if not deploy_time:
+                visits = self.prune_forced_visits(tr, visits, k, p_init)
+            k1, k2 = jax.random.split(k)
+            total = jnp.sum(visits)
+
+            def temp_policy():
+                v = jnp.where(
+                    temperature == 0.0,
+                    jnp.zeros_like(visits).at[_rand_argmax(k2, visits)].set(1.0),
+                    visits ** (1.0 / jnp.maximum(temperature, 1e-8)),
+                )
+                return v / jnp.maximum(jnp.sum(v), 1e-30)
+
+            # degenerate case: no visited root action (reference :130-132)
+            fallback = tr.valid[0].astype(visits.dtype)
+            fallback = fallback / jnp.maximum(jnp.sum(fallback), 1e-30)
+            return jnp.where(total > 0, temp_policy(), fallback)
+
+        return jax.vmap(one)(tree, keys)
+
+    def prune_forced_visits(
+        self, tr: Tree, visits: jnp.ndarray, key: jax.Array, puct_init: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Closed-form policy-target pruning (reference mcts.py:99-128).
+
+        The reference repeatedly decrements an action's visit count while
+        the resulting PUCT stays below the chosen action's; the decrement
+        from v restores iff q + K/v ≥ max_puct (prior score K/(1+v') with
+        v' = v − 1), so descending visit counts stop at the first
+        v ≤ K/(max_puct − q): final = clip(⌊K/margin⌋, visits − num_forced,
+        visits).  Visits equal to 1 are then zeroed (:128)."""
+        hp = self.hp
+        argmax_v = _rand_argmax(key, visits)
+        q = normalize_q(tr.Qsa[0])
+        ns = tr.Ns[0]
+        c = puct_init + jnp.log((ns + hp.puct_base + 1.0) / hp.puct_base)
+        K = c * tr.prior[0] * jnp.sqrt(ns + 1.0)
+        uct_plain = jnp.where(
+            tr.valid[0], q + K / (1.0 + tr.Nsa[0]), -jnp.inf
+        )
+        max_puct = uct_plain[argmax_v]
+
+        num_forced = jnp.ceil(
+            jnp.sqrt(hp.forced_playout_factor * tr.prior[0] * ns)
+        )
+        num_forced = jnp.where(tr.Nsa[0] == 0, 0.0, num_forced)
+
+        margin = max_puct - q
+        v_star = jnp.where(
+            margin > 0, jnp.floor(K / jnp.maximum(margin, 1e-30)), visits
+        )
+        pruned = jnp.clip(v_star, visits - num_forced, visits)
+        out = jnp.where(
+            (jnp.arange(self.A) == argmax_v) | (num_forced <= 0), visits, pruned
+        )
+        return jnp.where(out == 1.0, 0.0, out)
+
+
+def _flight_cost(world: IPPWorld, prev_pos: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Trapezoidal flight-time cost from an arbitrary position to action a
+    (budget decrement uses flight time, reference mcts.py:249)."""
+    from ipp_rl_tpu.ops.geometry import travel_costs
+
+    return travel_costs(
+        world.actions_xyz[a], prev_pos, world.cfg.uav.max_v, world.cfg.uav.max_a
+    )

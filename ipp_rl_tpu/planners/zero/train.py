@@ -1,0 +1,197 @@
+"""Training step for the policy-value network.
+
+Reproduces the reference optimization recipe (reference
+planning/mcts_zero/network_wrappers/policy_value_network_wrappers.py:34-215):
+
+  * SGD + momentum + (coupled) weight decay,
+  * three-phase linear OneCycle LR (pct_start 0.40, phase-2 end 0.80,
+    div_factor = max_lr/lr, final_div_factor 100 — reference :59-69),
+  * global-norm gradient clipping (reference :169-171),
+  * losses: masked policy cross-entropy −Σ π·log p·mask, value MSE on
+    √-scaled targets, optional reward MSE / autoencoder reconstruction,
+    entropy regularization subtracted, per-sample PER importance weights
+    (reference :120-154, 251-272).
+
+TPU-native: the step is one jitted function; data parallelism comes from
+sharding the batch axis over the mesh's ``dp`` axis — XLA inserts the
+gradient all-reduce from the sharding annotations, replacing the
+reference's single-GPU loop + filesystem replay plumbing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ipp_rl_tpu.config.schema import Config, MCTSZeroHyperParams
+from ipp_rl_tpu.models.networks import PolicyValueNetwork
+
+
+class TrainBatch(NamedTuple):
+    """One replay minibatch; leading axis B."""
+
+    planes: jnp.ndarray  # (B, S, S, C)
+    policy: jnp.ndarray  # (B, A) — visit-count target
+    value: jnp.ndarray  # (B,) — √-scaled n-step return
+    reward: jnp.ndarray  # (B,)
+    valid_mask: jnp.ndarray  # (B, A)
+    weight: jnp.ndarray  # (B,) — PER importance weights (1.0 if uniform)
+
+
+@struct.dataclass
+class ZeroTrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def onecycle_schedule(hp: MCTSZeroHyperParams, total_steps: int):
+    """Three-phase linear OneCycle (reference wrappers :59-69)."""
+    return optax.linear_onecycle_schedule(
+        transition_steps=max(total_steps, 1),
+        peak_value=hp.max_learning_rate,
+        pct_start=0.40,
+        pct_final=0.80,
+        div_factor=hp.max_learning_rate / hp.learning_rate,
+        final_div_factor=100.0,
+    )
+
+
+def make_optimizer(hp: MCTSZeroHyperParams, total_steps: int):
+    return optax.chain(
+        optax.clip_by_global_norm(hp.max_grad_norm),
+        optax.add_decayed_weights(hp.weight_decay),
+        optax.trace(decay=hp.momentum, nesterov=False),
+        optax.scale_by_learning_rate(onecycle_schedule(hp, total_steps)),
+    )
+
+
+def init_train_state(
+    cfg: Config,
+    hp: MCTSZeroHyperParams,
+    key: jax.Array,
+    total_steps: int,
+    input_size: Optional[int] = None,
+    dtype=jnp.float32,
+) -> Tuple[PolicyValueNetwork, ZeroTrainState]:
+    """Initialize network parameters + optimizer state."""
+    net = PolicyValueNetwork(hp=hp, num_actions=cfg.num_actions)
+    s = input_size or cfg.environment.num_cells
+    dummy_x = jnp.zeros((1, s, s, hp.input_channels), dtype)
+    dummy_mask = jnp.ones((1, cfg.num_actions), dtype)
+    variables = net.init(key, dummy_x, dummy_mask, train=False)
+    tx = make_optimizer(hp, total_steps)
+    return net, ZeroTrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.int32(0),
+    )
+
+
+def loss_fn(
+    net: PolicyValueNetwork,
+    hp: MCTSZeroHyperParams,
+    params,
+    batch_stats,
+    batch: TrainBatch,
+    dropout_rng: jax.Array,
+):
+    outs, mutated = net.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch.planes,
+        batch.valid_mask,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": dropout_rng},
+    )
+    log_policy, value, reward, recon = outs
+
+    policy_l = -jnp.sum(batch.policy * log_policy * batch.valid_mask, axis=-1)
+    value_l = jnp.square(value - batch.value)
+    entropy = -jnp.sum(jnp.exp(log_policy) * log_policy, axis=-1)
+
+    total = (
+        hp.policy_loss_coeff * policy_l
+        + hp.value_loss_coeff * value_l
+        - hp.entropy_regularization_coeff * entropy
+    )
+    metrics = {
+        "policy_loss": jnp.mean(policy_l),
+        "value_loss": jnp.mean(value_l),
+        "entropy": jnp.mean(entropy),
+    }
+    if hp.use_reward_target:
+        reward_l = jnp.square(reward - batch.reward)
+        total = total + hp.reward_loss_coeff * reward_l
+        metrics["reward_loss"] = jnp.mean(reward_l)
+    if hp.use_autoencoder:
+        target = batch.planes[..., 0]  # most-recent state plane
+        recon_l = jnp.mean(
+            jnp.square(target - recon).reshape(target.shape[0], -1), axis=-1
+        )
+        total = total + hp.reconstruction_loss_coeff * recon_l
+        metrics["reconstruction_loss"] = jnp.mean(recon_l)
+
+    total = total * batch.weight  # PER importance weights (reference :149)
+    loss = jnp.mean(total)
+    metrics["total_loss"] = loss
+    return loss, (mutated["batch_stats"], metrics, value_l)
+
+
+def make_train_step(
+    net: PolicyValueNetwork, hp: MCTSZeroHyperParams, total_steps: int
+):
+    """Returns jitted (state, batch, rng) -> (state, metrics, per-sample
+    value losses for PER priority updates)."""
+    tx = make_optimizer(hp, total_steps)
+
+    @jax.jit
+    def train_step(state: ZeroTrainState, batch: TrainBatch, rng: jax.Array):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(net, hp, p, state.batch_stats, batch, rng),
+            has_aux=True,
+        )
+        (loss, (new_stats, metrics, value_l)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = ZeroTrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics, value_l
+
+    return train_step
+
+
+def predict_fn(net: PolicyValueNetwork):
+    """Inference: (variables, planes, mask) → (policy probs, value).
+
+    The value head emits √-scaled values; invert v² + 2v for the true
+    scale (reference wrappers :217-231).  This function is inlined into
+    the jitted search step — the reference's batched inference server
+    process (reference inference_workers.py:38-127) disappears.
+    """
+    from ipp_rl_tpu.ops.rewards import invert_scaled_value_target
+
+    def predict(variables, planes, valid_mask):
+        log_policy, value, _, _ = net.apply(
+            variables, planes, valid_mask, train=False
+        )
+        return jnp.exp(log_policy), invert_scaled_value_target(value)
+
+    return predict

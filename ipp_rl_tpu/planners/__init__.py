@@ -6,3 +6,5 @@ from ipp_rl_tpu.planners.static_paths import (  # noqa: F401
     RandomDiscretePlanner,
     SpiralPlanner,
 )
+from ipp_rl_tpu.planners.mcts_classic import ClassicMCTSPlanner  # noqa: F401
+from ipp_rl_tpu.planners.cmaes import CMAESPlanner  # noqa: F401

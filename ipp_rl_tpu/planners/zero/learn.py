@@ -1,0 +1,275 @@
+"""Self-play training orchestration (reference
+planning/mcts_zero/mcts_zero_mission.py:254-415 ``learn``).
+
+Per self-play iteration:
+  1. decay exploration parameters with floors (puct_init ×0.8 ≥ 4,
+     dirichlet_alpha ×0.8 ≥ 0.3 — reference :231-243),
+  2. grow the off-policy replay window (start + iter/step, capped —
+     reference :245-252),
+  3. generate E episodes on device (SelfPlay.run — replaces the 22-process
+     pool, reference :324-344),
+  4. snapshot the current net (arena rollback), train num_epochs over the
+     window (reference :370-387),
+  5. continuous update (hot weights — the "LOAD" queue message is simply
+     the next iteration closing over new params) or arena gating with
+     rollback (reference :389-398).
+
+Checkpoints are flax-serialized msgpack files mirroring the reference's
+naming scheme (``shared_net.<name>``, per-iteration snapshots,
+``*.temp`` rollback — reference wrappers :233-249, mission :370-375).
+Metrics stream to a JSONL log (the reference's TensorBoard surface).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ipp_rl_tpu.config.schema import Config, MCTSZeroHyperParams, MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.planners.zero.arena import Arena
+from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+from ipp_rl_tpu.planners.zero.replay import PrioritizedReplayBuffer, ReplayBuffer
+from ipp_rl_tpu.planners.zero.selfplay import SelfPlay
+from ipp_rl_tpu.planners.zero.train import (
+    ZeroTrainState,
+    init_train_state,
+    make_train_step,
+    predict_fn,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(path: str, state: ZeroTrainState):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: str, state: ZeroTrainState) -> ZeroTrainState:
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(
+            {"params": state.params, "batch_stats": state.batch_stats}, f.read()
+        )
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )
+
+
+class ZeroLearner:
+    """Owns the network state, self-play generator, replay, and arena."""
+
+    def __init__(
+        self,
+        world: IPPWorld,
+        mission_cfg: MissionConfig,
+        checkpoints_dir: str = "checkpoints",
+        log_dir: str = "logs",
+        num_envs: Optional[int] = None,
+        seed: int = 42,
+    ):
+        self.world = world
+        self.cfg: Config = world.cfg
+        self.mc = mission_cfg
+        self.hp: MCTSZeroHyperParams = mission_cfg.hyper_params
+        self.checkpoints_dir = checkpoints_dir
+        self.log_dir = log_dir
+        os.makedirs(checkpoints_dir, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
+        self._metrics_file = os.path.join(log_dir, "train_metrics.jsonl")
+
+        hp = self.hp
+        # reference: num_workers × num_episodes sequential episodes
+        # (mcts_zero_mission.py:324-344) → one batched width here
+        self.num_envs = num_envs or hp.num_workers * hp.num_episodes
+
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.key(seed)
+
+        total_train_steps = (
+            hp.num_self_play_iterations * hp.num_epochs * 64
+        )  # approximate horizon for the LR schedule
+        self.net, self.state = init_train_state(
+            self.cfg, hp, self._next_key(), total_steps=total_train_steps,
+            dtype=world.dtype,
+        )
+        self.train_step = make_train_step(self.net, hp, total_train_steps)
+
+        self.predict = predict_fn(self.net)  # (variables, planes, mask)
+        self.mcts = ZeroMCTS(
+            world, hp, mission_cfg.episode_horizon, self.predict
+        )
+        self.selfplay = SelfPlay(world, hp, mission_cfg.episode_horizon, self.mcts)
+        # one compiled self-play program; weights are a runtime argument
+        self._selfplay_run = jax.jit(
+            self.selfplay.run, static_argnames=("num_envs", "num_simulations")
+        )
+        buffer_cls = PrioritizedReplayBuffer if hp.use_per else ReplayBuffer
+        self.replay = buffer_cls(world, hp, hp.start_train_examples_history)
+        self.arena = Arena(world, hp, mission_cfg.episode_horizon)
+
+        # mutable exploration schedule state (reference :231-243)
+        self.puct_init = hp.puct_init
+        self.dirichlet_alpha = hp.dirichlet_alpha
+        self.prev_network_wins = 0
+
+    # ------------------------------------------------------------- helpers
+
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def deployment_path(self) -> str:
+        return os.path.join(
+            self.checkpoints_dir, f"shared_net.{self.mc.model_deployment_filename}"
+        )
+
+    def _log(self, record: Dict):
+        with open(self._metrics_file, "a") as f:
+            f.write(json.dumps({k: _scalar(v) for k, v in record.items()}) + "\n")
+
+    def schedule_exploration(self, iteration: int):
+        if iteration > 0:
+            self.puct_init = max(
+                self.hp.puct_init_min, self.puct_init * self.hp.puct_init_decay
+            )
+            self.dirichlet_alpha = max(
+                self.hp.dirichlet_alpha_min,
+                self.dirichlet_alpha * self.hp.dirichlet_alpha_decay,
+            )
+
+    def window_size(self, iteration: int) -> int:
+        hp = self.hp
+        return min(
+            int(hp.start_train_examples_history + iteration / hp.train_examples_history_step),
+            hp.max_train_examples_history,
+        )
+
+    # ---------------------------------------------------------------- learn
+
+    def learn(
+        self,
+        num_iterations: Optional[int] = None,
+        num_train_batches: Optional[int] = None,
+        arena_games: Optional[int] = None,
+    ):
+        """Full training loop.  The optional caps shrink the canonical
+        workload for tests/smoke runs."""
+        hp = self.hp
+        iters = num_iterations or hp.num_self_play_iterations
+        for iteration in range(iters):
+            t0 = time.time()
+            self.schedule_exploration(iteration)
+            window = self.window_size(iteration)
+            self.replay.set_window(iteration, window)
+
+            traj, episode_values = self._selfplay_run(
+                self._next_key(),
+                self.num_envs,
+                net_variables=self.state.variables(),
+                puct_init=self.puct_init,
+                dirichlet_alpha=self.dirichlet_alpha,
+            )
+            traj = jax.tree_util.tree_map(np.asarray, traj)
+            self.replay.add_iteration(iteration, traj)
+            sp_time = time.time() - t0
+
+            # rollback snapshot (reference :370-372)
+            temp_path = os.path.join(self.checkpoints_dir, "shared_net.temp")
+            save_checkpoint(temp_path, self.state)
+            prev_state = self.state
+
+            t1 = time.time()
+            metrics = self.train_iteration(num_train_batches)
+            train_time = time.time() - t1
+
+            snap_path = os.path.join(
+                self.checkpoints_dir, f"shared_net.snapshot_{iteration}"
+            )
+            save_checkpoint(snap_path, self.state)
+
+            accepted = True
+            if not hp.continuous_network_update:
+                accepted = self.arena_gate(prev_state, arena_games)
+            if accepted:
+                save_checkpoint(self.deployment_path(), self.state)
+
+            self._log(
+                dict(
+                    iteration=iteration,
+                    num_samples=len(self.replay),
+                    window=window,
+                    puct_init=self.puct_init,
+                    dirichlet_alpha=self.dirichlet_alpha,
+                    mean_episode_value=float(np.mean(episode_values)),
+                    selfplay_s=sp_time,
+                    train_s=train_time,
+                    accepted=accepted,
+                    **(metrics or {}),
+                )
+            )
+            logger.info(
+                "iter %d: %d samples, episode value %.3f, accepted=%s",
+                iteration, len(self.replay), float(np.mean(episode_values)), accepted,
+            )
+
+    def train_iteration(self, num_batches_cap: Optional[int] = None) -> Dict:
+        hp = self.hp
+        num_batches = self.replay.num_batches(hp.batch_size)
+        if num_batches_cap is not None:
+            num_batches = min(num_batches, num_batches_cap)
+        if isinstance(self.replay, PrioritizedReplayBuffer):
+            self.replay.begin_training(hp.batch_size, hp.num_epochs)
+        last = {}
+        for epoch in range(hp.num_epochs):
+            for _ in range(num_batches):
+                batch, idx = self.replay.sample(
+                    hp.batch_size, self.rng, self._next_key()
+                )
+                self.state, metrics, value_l = self.train_step(
+                    self.state, batch, self._next_key()
+                )
+                self.replay.step()
+                if isinstance(self.replay, PrioritizedReplayBuffer):
+                    per_sample = np.asarray(value_l)[: len(idx)] + 1e-8
+                    self.replay.update(idx, per_sample)
+                last = {k: float(v) for k, v in metrics.items()}
+        return last
+
+    def arena_gate(self, prev_state: ZeroTrainState, arena_games=None) -> bool:
+        """Accept/rollback via arena (reference :417-455)."""
+        hp = self.hp
+        r_prev, r_curr = self.arena.play_games(
+            self.predict,
+            prev_state.variables(),
+            self.state.variables(),
+            arena_games or hp.num_arena_games,
+            self._next_key(),
+        )
+        r_prev, r_curr = float(r_prev), float(r_curr)
+        rel = r_curr / max(r_prev + r_curr, 1e-12)
+        if rel < hp.network_update_threshold:
+            logger.info("REJECTED new network (rel=%.3f)", rel)
+            self.prev_network_wins += 1
+            self.state = load_checkpoint(
+                os.path.join(self.checkpoints_dir, "shared_net.temp"), self.state
+            )
+            return False
+        logger.info("ACCEPTED new network (rel=%.3f)", rel)
+        return True
+
+
+def _scalar(v):
+    if isinstance(v, (np.generic, jnp.ndarray)):
+        return float(v)
+    return v

@@ -106,7 +106,7 @@ def _rand_argmax(key: jax.Array, scores: jnp.ndarray) -> jnp.ndarray:
     """Uniform choice among maxima (reference mcts.py:236 np.random.choice)."""
     is_max = scores == jnp.max(scores)
     logits = jnp.where(is_max, 0.0, -jnp.inf)
-    return jax.random.categorical(key, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
 class ZeroMCTS:
@@ -122,7 +122,7 @@ class ZeroMCTS:
         world: IPPWorld,
         hp: MCTSZeroHyperParams,
         episode_horizon: int,
-        predict_fn,  # (planes (B,S,S,C), masks (B,A)) -> (policy, value)
+        predict_fn,  # (variables, planes (B,S,S,C), masks (B,A)) -> (policy, value)
     ):
         self.world = world
         self.hp = hp
@@ -444,12 +444,15 @@ class ZeroMCTS:
         budget: jnp.ndarray,  # (B,)
         history: EpisodeHistory,  # (B,)-batched episode history
         key: jax.Array,
+        net_variables=None,
         puct_init: Optional[float] = None,
         dirichlet_alpha: Optional[float] = None,
         num_simulations: Optional[int] = None,
     ) -> Tuple[Tree, jnp.ndarray]:
         """Run the full search; returns the (B,)-batched trees and the
-        root valid-action masks."""
+        root valid-action masks.  ``net_variables`` are threaded to the
+        predict function so jitted callers can swap weights without
+        retracing."""
         hp = self.hp
         B = cov.shape[0]
         dt = cov.dtype
@@ -482,7 +485,7 @@ class ZeroMCTS:
                     )
                 )(tree, cov, pos, mean, history, sel_keys)
             )
-            policy, value = self.predict(planes, leaf_mask.astype(dt))
+            policy, value = self.predict(net_variables, planes, leaf_mask.astype(dt))
             is_root_first = first & (leaf == 0)
             tree, leaf_value = jax.vmap(
                 lambda tr, lf, po, va, lm, rf, kk: self._integrate_eval(

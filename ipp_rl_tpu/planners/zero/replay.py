@@ -1,0 +1,231 @@
+"""Replay buffers over self-play trajectories.
+
+The reference's replay is a file list over a sliding window of
+iteration directories of bz2-pickled samples (reference
+planning/mcts_zero/replay_buffers.py:15-141).  Here the data plane is
+in-memory: each self-play iteration contributes one host-resident
+``Trajectory``; the buffer keeps a sliding window of iterations and
+samples (iteration, env, step) triples.  Feature planes are NOT stored —
+they're rebuilt in-jit from the belief history at training time
+(planes_from_sample), which is both 16× smaller and removes the disk
+round-trip entirely.
+
+Uniform and prioritized (α-exponent priorities, β-annealed importance
+weights, priorities updated from per-sample value loss — reference
+:104-141) variants, plus the reference's random-shift plane augmentation
+(ReplicationPad(4) + RandomCrop, reference :58-75) applied on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipp_rl_tpu.config.schema import MCTSZeroHyperParams
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.planners.zero.selfplay import Trajectory, planes_from_sample
+from ipp_rl_tpu.planners.zero.train import TrainBatch
+
+
+class ReplayBuffer:
+    """Sliding-window uniform replay over trajectory iterations."""
+
+    def __init__(
+        self,
+        world: IPPWorld,
+        hp: MCTSZeroHyperParams,
+        window_size: int,
+    ):
+        self.world = world
+        self.hp = hp
+        self.window_size = window_size
+        self._iters: Dict[int, Trajectory] = {}
+        self._index: Optional[np.ndarray] = None  # (num_samples, 3) iter,e,t
+        self._iter_keys: List[int] = []
+        self._build_planes = jax.jit(self._make_planes_builder())
+
+    def _make_planes_builder(self):
+        world, hp = self.world, self.hp
+        L = hp.input_history_length
+
+        def build(covs, positions, budget_fracs, lens, means):
+            return jax.vmap(
+                lambda c, p, b, l, m: planes_from_sample(world, hp, c, p, b, l, m)
+            )(covs, positions, budget_fracs, lens, means)
+
+        return build
+
+    def add_iteration(self, iteration: int, traj: Trajectory):
+        """Register a finished self-play iteration (host numpy) and drop
+        iterations outside the window (reference mcts_zero_mission.py:364-368)."""
+        self._iters[iteration] = jax.tree_util.tree_map(np.asarray, traj)
+        self.set_window(iteration, self.window_size)
+
+    def set_window(self, current_iteration: int, window_size: int):
+        self.window_size = window_size
+        start = max(0, current_iteration - window_size + 1)
+        for k in list(self._iters):
+            if k < start:
+                del self._iters[k]
+        self._rebuild_index()
+
+    def _rebuild_index(self):
+        rows = []
+        for it, traj in sorted(self._iters.items()):
+            e_idx, t_idx = np.nonzero(traj.sample_ok)
+            rows.append(
+                np.stack([np.full_like(e_idx, it), e_idx, t_idx], axis=1)
+            )
+        self._index = (
+            np.concatenate(rows, axis=0) if rows else np.zeros((0, 3), np.int64)
+        )
+
+    def __len__(self) -> int:
+        return 0 if self._index is None else len(self._index)
+
+    def num_batches(self, batch_size: int) -> int:
+        denom = max(1, batch_size // (self.hp.num_augmented_samples + 1))
+        return len(self) // denom
+
+    # ----------------------------------------------------------- sampling
+
+    def _gather(self, rows: np.ndarray) -> TrainBatch:
+        """Assemble a TrainBatch for index rows (iter, env, step)."""
+        world, hp = self.world, self.hp
+        L = hp.input_history_length
+        n = world.cfg.environment.num_cells
+        B = len(rows)
+        covs = np.zeros((B, L, n, n), np.float32)
+        poss = np.zeros((B, L, 3), np.float32)
+        bfrs = np.zeros((B, L), np.float32)
+        lens = np.zeros((B,), np.int32)
+        means = np.zeros((B, n), np.float32)
+        pols = np.zeros((B, world.num_actions), np.float32)
+        vals = np.zeros((B,), np.float32)
+        rews = np.zeros((B,), np.float32)
+        msks = np.zeros((B, world.num_actions), np.float32)
+        for i, (it, e, t) in enumerate(rows):
+            traj = self._iters[int(it)]
+            hist_len = min(L, t + 1)
+            lens[i] = hist_len
+            for k in range(hist_len):
+                covs[i, k] = traj.cov[e, t - k]
+                poss[i, k] = traj.prev_pos[e, t - k]
+                bfrs[i, k] = traj.budget[e, t - k] / traj.init_budget[e]
+            means[i] = traj.mean[e, t]
+            pols[i] = traj.policy[e, t]
+            vals[i] = traj.value[e, t]
+            rews[i] = traj.reward[e, t]
+            msks[i] = traj.valid_mask[e, t]
+
+        planes = self._build_planes(
+            jnp.asarray(covs), jnp.asarray(poss), jnp.asarray(bfrs),
+            jnp.asarray(lens), jnp.asarray(means),
+        )
+        return TrainBatch(
+            planes=planes,
+            policy=jnp.asarray(pols),
+            value=jnp.asarray(vals),
+            reward=jnp.asarray(rews),
+            valid_mask=jnp.asarray(msks),
+            weight=jnp.ones((B,), jnp.float32),
+        )
+
+    def _augment(self, batch: TrainBatch, key: jax.Array) -> TrainBatch:
+        """Random-shift augmentation: replication-pad 4 + random crop
+        (reference replay_buffers.py:58-75); targets are tiled."""
+        k = self.hp.num_augmented_samples
+        if k == 0:
+            return batch
+        planes = batch.planes
+        B, H, W, C = planes.shape
+        padded = jnp.pad(planes, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="edge")
+        shifts = jax.random.randint(key, (k, B, 2), 0, 9)
+
+        def crop_one(img, sh):
+            return jax.lax.dynamic_slice(img, (sh[0], sh[1], 0), (H, W, C))
+
+        aug = [planes] + [
+            jax.vmap(crop_one)(padded, shifts[j]) for j in range(k)
+        ]
+        tile = lambda x: jnp.concatenate([x] * (k + 1), axis=0)
+        return TrainBatch(
+            planes=jnp.concatenate(aug, axis=0),
+            policy=tile(batch.policy),
+            value=tile(batch.value),
+            reward=tile(batch.reward),
+            valid_mask=tile(batch.valid_mask),
+            weight=tile(batch.weight),
+        )
+
+    def sample(
+        self, batch_size: int, rng: np.random.Generator, key: jax.Array
+    ) -> Tuple[TrainBatch, np.ndarray]:
+        """Uniform sample with replacement (reference :90-101)."""
+        assert len(self) > 0, "empty replay buffer"
+        draw = max(1, batch_size // (self.hp.num_augmented_samples + 1))
+        idx = rng.integers(0, len(self), size=draw)
+        batch = self._gather(self._index[idx])
+        batch = self._augment(batch, key)
+        return batch, idx
+
+    def step(self):
+        pass
+
+    def update(self, indices: np.ndarray, priorities: np.ndarray):
+        pass
+
+
+class PrioritizedReplayBuffer(ReplayBuffer):
+    """α-priority sampling with β-annealed importance weights
+    (reference replay_buffers.py:104-141)."""
+
+    def __init__(
+        self,
+        world: IPPWorld,
+        hp: MCTSZeroHyperParams,
+        window_size: int,
+    ):
+        super().__init__(world, hp, window_size)
+        self.alpha = hp.replay_alpha
+        self.beta0 = hp.replay_beta0
+        self.beta = hp.replay_beta0
+        self._priorities: Optional[np.ndarray] = None
+        self.total_steps = 1
+
+    def _rebuild_index(self):
+        old_len = 0 if self._index is None else len(self._index)
+        super()._rebuild_index()
+        n = len(self)
+        if n:
+            self._priorities = np.ones(n) / n
+        else:
+            self._priorities = None
+
+    def begin_training(self, batch_size: int, num_epochs: int):
+        self.total_steps = max(1, self.num_batches(batch_size) * num_epochs)
+        self.beta = self.beta0
+
+    def step(self):
+        self.beta = min(self.beta + (1.0 - self.beta0) / self.total_steps, 1.0)
+
+    def sample(
+        self, batch_size: int, rng: np.random.Generator, key: jax.Array
+    ) -> Tuple[TrainBatch, np.ndarray]:
+        assert len(self) > 0, "empty replay buffer"
+        draw = max(1, batch_size // (self.hp.num_augmented_samples + 1))
+        probs = self._priorities**self.alpha
+        probs = probs / probs.sum()
+        idx = rng.choice(len(self), size=draw, p=probs)
+        batch = self._gather(self._index[idx])
+        weights = (probs[idx] * len(self)) ** (-self.beta)
+        weights = weights / weights.max()
+        batch = batch._replace(weight=jnp.asarray(weights, jnp.float32))
+        batch = self._augment(batch, key)
+        return batch, idx
+
+    def update(self, indices: np.ndarray, priorities: np.ndarray):
+        self._priorities[indices] = np.asarray(priorities)

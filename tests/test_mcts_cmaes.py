@@ -1,0 +1,81 @@
+"""Classic MCTS and CMA-ES planner tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipp_rl_tpu.config.schema import MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.planners import ClassicMCTSPlanner, CMAESPlanner, RandomDiscretePlanner
+
+
+@pytest.fixture(scope="module")
+def world(small_cfg):
+    return IPPWorld(small_cfg, dtype=jnp.float32)
+
+
+def test_cma_es_minimizes_quadratic():
+    from ipp_rl_tpu.planners.cmaes import cma_es_minimize
+
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def obj(pop):
+        return jnp.sum(jnp.square(pop - target[None, :]), axis=-1)
+
+    best_x, best_f = cma_es_minimize(
+        obj,
+        x0=jnp.zeros(3),
+        sigma_scales=jnp.ones(3),
+        lower=jnp.full(3, -10.0),
+        upper=jnp.full(3, 10.0),
+        popsize=16,
+        maxiter=60,
+        key=jax.random.key(0),
+    )
+    assert float(best_f) < 1e-2
+    np.testing.assert_allclose(np.asarray(best_x), np.asarray(target), atol=0.2)
+
+
+def test_classic_mcts_mission(world):
+    mc = MissionConfig(
+        type="mcts", num_simulations=16, episode_horizon=3, horizontal_spacing=12.0
+    )
+    p = ClassicMCTSPlanner(world, mc)
+    res = p.run(jax.random.key(0), batch_size=2, max_steps=5)
+    assert np.all(res.num_steps >= 1)
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()
+
+
+def test_classic_mcts_beats_random(world):
+    mc = MissionConfig(
+        type="mcts", num_simulations=24, episode_horizon=3, horizontal_spacing=14.0
+    )
+    p = ClassicMCTSPlanner(world, mc)
+    r = RandomDiscretePlanner(world, MissionConfig(type="random_discrete"))
+    pres = p.run(jax.random.key(1), batch_size=3, max_steps=8)
+    rres = r.run(jax.random.key(1), batch_size=3, max_steps=8)
+    assert (
+        pres.metrics["uncertainty"][:, -1].mean()
+        < rres.metrics["uncertainty"][:, -1].mean()
+    )
+
+
+def test_cmaes_mission(world):
+    mc = MissionConfig(
+        type="cmaes", episode_horizon=2, cma_popsize=6, cma_maxiter=4, cma_sigma=2.0
+    )
+    p = CMAESPlanner(world, mc)
+    res = p.run(jax.random.key(2), batch_size=2, max_steps=4)
+    assert np.all(res.num_steps >= 1)
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()
+    # waypoints stay in bounds
+    wps = res.waypoints
+    ok = ~np.isnan(wps[..., 0])
+    con, env = world.cfg.constraints, world.cfg.environment
+    assert np.all(wps[..., 2][ok] >= con.min_altitude - 1e-5)
+    assert np.all(wps[..., 2][ok] <= con.max_altitude + 1e-5)
+    assert np.all(wps[..., 0][ok] >= -1e-5)
+    assert np.all(wps[..., 0][ok] <= env.extent_x + 1e-5)

@@ -84,7 +84,7 @@ def test_feature_planes_vmappable(small_cfg, hp, world):
 
 
 def uniform_predict(A):
-    def predict(planes, masks):
+    def predict(variables, planes, masks):
         B = planes.shape[0]
         p = masks / jnp.maximum(jnp.sum(masks, axis=-1, keepdims=True), 1e-30)
         return p, 0.5 * jnp.ones((B,), planes.dtype)

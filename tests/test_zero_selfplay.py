@@ -1,0 +1,177 @@
+"""End-to-end MCTS-zero pipeline tests at tiny scale: self-play episode
+generation, replay sampling, one learner iteration with arena gating,
+and the deploy-time planner."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipp_rl_tpu.config.schema import MCTSZeroHyperParams, MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+from ipp_rl_tpu.planners.zero.mission import ZeroPlanner
+from ipp_rl_tpu.planners.zero.replay import PrioritizedReplayBuffer, ReplayBuffer
+from ipp_rl_tpu.planners.zero.selfplay import SelfPlay
+from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+
+TINY_HP = MCTSZeroHyperParams(
+    num_mcts_simulations=6,
+    max_episode_steps=5,
+    num_channels=16,
+    num_encoder_res_blocks=2,
+    num_global_pooling_channels=4,
+    input_history_length=3,
+    batch_size=8,
+    num_epochs=1,
+    temperature_threshold=3,
+    shuffle_prior_cov=True,
+)
+
+
+@pytest.fixture(scope="module")
+def world(small_cfg):
+    return IPPWorld(small_cfg, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def net_and_state(small_cfg):
+    from ipp_rl_tpu.planners.zero.train import init_train_state
+
+    return init_train_state(small_cfg, TINY_HP, jax.random.key(0), total_steps=20)
+
+
+@pytest.fixture(scope="module")
+def trajectory(world, net_and_state):
+    net, state = net_and_state
+    mcts = ZeroMCTS(world, TINY_HP, episode_horizon=2, predict_fn=predict_fn(net))
+    sp = SelfPlay(world, TINY_HP, episode_horizon=2, mcts=mcts)
+    traj, ep_values = sp.run(
+        jax.random.key(1), num_envs=2, net_variables=state.variables()
+    )
+    return jax.tree_util.tree_map(np.asarray, traj), np.asarray(ep_values)
+
+
+def test_selfplay_trajectory(world, trajectory):
+    traj, ep_values = trajectory
+    E, T = 2, TINY_HP.max_episode_steps
+    n = world.cfg.environment.num_cells
+    A = world.num_actions
+    assert traj.cov.shape == (E, T, n, n)
+    assert traj.policy.shape == (E, T, A)
+    ok = traj.sample_ok
+    assert ok.any(), "no samples generated"
+    # policies are distributions over valid actions
+    sums = traj.policy[ok].sum(axis=-1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+    assert np.all(traj.policy[ok][traj.valid_mask[ok] == 0] == 0)
+    # rewards are positive while running (information is always gained)
+    assert np.all(traj.reward[ok] > 0)
+    # value targets are sqrt-scaled sums of forward rewards
+    assert np.all(traj.value[ok] >= 0)
+    assert np.all(ep_values > 0)
+    # budgets decrease along each episode
+    for e in range(E):
+        steps = np.nonzero(ok[e])[0]
+        b = traj.budget[e, steps]
+        assert np.all(np.diff(b) < 0)
+
+
+def test_value_targets_match_reference_window(world, trajectory):
+    traj, _ = trajectory
+    from ipp_rl_tpu.ops.rewards import scale_value_target
+
+    H = 2  # episode_horizon used in fixture
+    T = TINY_HP.max_episode_steps
+    gamma = TINY_HP.gamma
+    for e in range(2):
+        r = traj.reward[e]
+        for i in range(T):
+            end = min(i + H, T)
+            want = sum(gamma ** (j - i) * r[j] for j in range(i, end))
+            want = float(np.sqrt(want + 1) - 1)
+            np.testing.assert_allclose(traj.value[e, i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_replay_uniform(world, trajectory):
+    traj, _ = trajectory
+    from ipp_rl_tpu.planners.zero.selfplay import Trajectory
+
+    buf = ReplayBuffer(world, TINY_HP, window_size=2)
+    buf.add_iteration(0, Trajectory(*[jnp.asarray(x) for x in traj]))
+    assert len(buf) == traj.sample_ok.sum()
+    rng = np.random.default_rng(0)
+    batch, idx = buf.sample(4, rng, jax.random.key(2))
+    n = world.cfg.environment.num_cells
+    assert batch.planes.shape == (4, n, n, TINY_HP.input_channels)
+    assert batch.policy.shape == (4, world.num_actions)
+    assert np.all(np.asarray(batch.weight) == 1.0)
+    # window eviction
+    buf.add_iteration(1, Trajectory(*[jnp.asarray(x) for x in traj]))
+    buf.add_iteration(2, Trajectory(*[jnp.asarray(x) for x in traj]))
+    assert len(buf) == 2 * traj.sample_ok.sum()  # iteration 0 evicted
+
+
+def test_replay_per(world, trajectory):
+    traj, _ = trajectory
+    from ipp_rl_tpu.planners.zero.selfplay import Trajectory
+
+    buf = PrioritizedReplayBuffer(world, TINY_HP, window_size=2)
+    buf.add_iteration(0, Trajectory(*[jnp.asarray(x) for x in traj]))
+    buf.begin_training(batch_size=4, num_epochs=1)
+    rng = np.random.default_rng(0)
+    batch, idx = buf.sample(4, rng, jax.random.key(3))
+    w = np.asarray(batch.weight)
+    assert w.max() <= 1.0 + 1e-6
+    beta_before = buf.beta
+    buf.step()
+    assert buf.beta > beta_before
+    buf.update(idx, np.full(len(idx), 5.0))
+    assert np.all(buf._priorities[idx] == 5.0)
+
+
+def test_learner_smoke(world, tmp_path):
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner, load_checkpoint
+
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP)
+    learner = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+    )
+    learner.learn(num_iterations=1, num_train_batches=2)
+    import os
+
+    assert os.path.exists(learner.deployment_path())
+    assert os.path.exists(str(tmp_path / "logs" / "train_metrics.jsonl"))
+    # schedules decayed on iteration > 0 only
+    assert learner.puct_init == TINY_HP.puct_init
+    learner.schedule_exploration(1)
+    assert learner.puct_init == TINY_HP.puct_init * TINY_HP.puct_init_decay
+    # checkpoint roundtrip
+    state2 = load_checkpoint(learner.deployment_path(), learner.state)
+    l1 = jax.tree_util.tree_leaves(state2.params)
+    l2 = jax.tree_util.tree_leaves(learner.state.params)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+
+def test_zero_planner_deploy(world, net_and_state):
+    net, state = net_and_state
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP)
+    p = ZeroPlanner(world, mc, predict_fn(net), state.variables())
+    res = p.run(jax.random.key(5), batch_size=2, max_steps=4)
+    assert np.all(res.num_steps >= 1)
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()
+
+
+def test_zero_planner_raw_policy(world, net_and_state):
+    net, state = net_and_state
+    hp_raw = TINY_HP.__class__(**{**TINY_HP.__dict__, "num_mcts_simulations": 0})
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=hp_raw)
+    p = ZeroPlanner(world, mc, predict_fn(net), state.variables())
+    res = p.run(jax.random.key(6), batch_size=2, max_steps=3)
+    assert np.all(res.num_steps >= 1)

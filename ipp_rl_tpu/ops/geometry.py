@@ -24,8 +24,13 @@ from ipp_rl_tpu.config.schema import Config
 
 @dataclass(frozen=True)
 class ActionLattice:
-    """Static action set: index ``a = h * num_cells + (row * x_dim + col)``
-    (matching the reference indexing, reference planning/common/actions.py:73-91).
+    """Static action set: index ``a = h * num_cells + (x_idx * y_dim + y_idx)``
+    — x-major cell enumeration, matching the reference action ordering
+    (reference planning/common/actions.py:73-91 flattens (x_idx, y_idx) as
+    ``x_dim * x_idx + y_idx``, which equals this on square grids; the
+    reference formula collides for non-square grids, so we use the
+    collision-free generalization).  Grid CELLS stay row-major
+    (``cell = y_idx * x_dim + x_idx``) as in the measurement models.
 
     Attributes:
         xyz: (A, 3) float64 world positions of each action (cell centers, altitude).
@@ -51,7 +56,8 @@ def build_action_lattice(cfg: Config) -> ActionLattice:
     env, con = cfg.environment, cfg.constraints
     levels = np.linspace(con.min_altitude, con.max_altitude, con.altitude_levels)
     res = env.resolution
-    cols, rows = np.meshgrid(np.arange(env.x_dim), np.arange(env.y_dim))
+    # x-major enumeration (see class docstring)
+    cols, rows = np.meshgrid(np.arange(env.x_dim), np.arange(env.y_dim), indexing="ij")
     x = cols.ravel() * res + 0.5 * res
     y = rows.ravel() * res + 0.5 * res
     cell_idx = (rows.ravel() * env.x_dim + cols.ravel()).astype(np.int32)

@@ -30,34 +30,41 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 
-def _innovation_chol(
-    P: jnp.ndarray, H: jnp.ndarray, R_diag: jnp.ndarray, jitter: float
+def innovation_inverse(
+    P: jnp.ndarray, H: jnp.ndarray, R_diag: jnp.ndarray, jitter: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (PHt, L) with S = H P Hᵀ + diag(R) symmetrized and
-    L = chol(S) lower-triangular.  P: (N, N), H: (M, N), R_diag: (M,)."""
+    """Return (PHt (N, M), S⁻¹ (M, M)) with S = H P Hᵀ + diag(R)
+    symmetrized.  The inverse uses the UNROLLED small-SPD path
+    (ops/smallchol.py): no sequential Cholesky/triangular-solve ops in
+    the compiled program — batched callers (per-mission commits, per-sim
+    tree edges) stay on the VPU/MXU."""
+    from ipp_rl_tpu.ops.smallchol import spd_inverse
+
     PHt = P @ H.T  # (N, M)
     S = H @ PHt + jnp.diag(R_diag)
     S = 0.5 * (S + S.T)
     if jitter:
         S = S + jitter * jnp.eye(S.shape[0], dtype=S.dtype)
-    L = jnp.linalg.cholesky(S)
-    return PHt, L
+    return PHt, spd_inverse(S)
 
 
 def kf_gain_factor(
     P: jnp.ndarray, H: jnp.ndarray, R_diag: jnp.ndarray, jitter: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whitened gain factor Wc = P Hᵀ L⁻ᵀ and L = chol(S).
+    """Whitened gain factor Wc with Wc Wcᵀ = P Hᵀ S⁻¹ H P.
 
-    Returns (Wc (N, M), L (M, M)).  trace reduction = ‖Wc‖²_F.
+    Returns (Wc (N, M), S⁻¹ (M, M)).  trace reduction = ‖Wc‖²_F.
+    Wc = P Hᵀ U where U Uᵀ = S⁻¹ (U = chol of the inverse) — equivalent
+    to the reference's P Hᵀ L⁻ᵀ up to an orthogonal factor, identical
+    outer product (reference mapping/mappings.py:185-190).
     """
-    PHt, L = _innovation_chol(P, H, R_diag, jitter)
-    # Wcᵀ = L⁻¹ (PHᵀ)ᵀ  — one triangular solve, no explicit inverse
-    WcT = solve_triangular(L, PHt.T, lower=True)
-    return WcT.T, L
+    from ipp_rl_tpu.ops.smallchol import spd_cholesky_dense
+
+    PHt, S_inv = innovation_inverse(P, H, R_diag, jitter)
+    U = spd_cholesky_dense(S_inv)
+    return PHt @ U, S_inv
 
 
 def kf_update(
@@ -71,21 +78,18 @@ def kf_update(
     """Full Kalman commit: returns (mean', P').
 
     mean is the flattened (N,) belief mean; z the (M,) observation
-    (padded entries are ignored because the matching Wc columns are 0).
+    (padded entries are ignored because the matching gain columns are 0).
     Pass ``z=None`` for a covariance-only update (planner rollouts,
     reference mapping/mappings.py:114-153 ``cov_only``).
     """
-    Wc, L = kf_gain_factor(P, H, R_diag, jitter)
-    P_next = P - Wc @ Wc.T
+    PHt, S_inv = innovation_inverse(P, H, R_diag, jitter)
+    K = PHt @ S_inv  # (N, M) Kalman gain
+    P_next = P - K @ PHt.T
     P_next = 0.5 * (P_next + P_next.T)
     if z is None:
         return mean, P_next
     v = z - H @ mean
-    # x' = x + Wc L⁻¹ v   (K v = Wc L⁻¹ ... see module docstring)
-    u = solve_triangular(L, v, lower=True)
-    # second whitening: K = PHᵀS⁻¹ = Wc L⁻¹ ⇒ K v = Wc (L⁻¹ v)... but
-    # Wc = PHᵀ L⁻ᵀ so K v = PHᵀ L⁻ᵀ L⁻¹ v = Wc u with u = L⁻¹ v.  ✓
-    mean_next = mean + Wc @ u
+    mean_next = mean + K @ v
     return mean_next, P_next
 
 
@@ -114,14 +118,21 @@ def kf_sweep_gains(
     """Trace reduction for EVERY action at once — the greedy/MCTS sweep.
 
     Replaces the reference's process-pool loop over the action set
-    (reference planning/common/optimization.py:82-90) with three fused
-    batched GEMMs + one batched Cholesky:
+    (reference planning/common/optimization.py:82-90).  TPU formulation:
 
       P: (N, N), H_all: (A, M, N), R_all: (A, M) → gains (A,)
 
-    The P·Hᵀ contraction is arranged as a single (N × N) × (N × A·M)
-    matmul — ideal MXU shape once vmapped over missions.
+    The P·Hᵀ contraction is one (N × N) × (N × A·M) matmul (MXU);
+    the A innovation inverses use the *unrolled* small-SPD inverse
+    (ops/smallchol.py — pure fused VPU ops, no sequential batched
+    Cholesky/solve, which profiled ~1000× off roofline); the masked
+    trace reduction is
+
+      gain_a = Σ_j m_j · (PHt_a S_a⁻¹ PHt_aᵀ)_{jj}
+             = Σ_j m_j · rowsum( (PHt_a @ S_a⁻¹) ∘ PHt_a )_j
     """
+    from ipp_rl_tpu.ops.smallchol import spd_inverse
+
     A, M, N = H_all.shape
     H_flat = H_all.reshape(A * M, N)
     PHt = (P @ H_flat.T).reshape(N, A, M)  # (N, A, M)
@@ -133,9 +144,11 @@ def kf_sweep_gains(
     S = S + jax.vmap(jnp.diag)(R_all)
     if jitter:
         S = S + jitter * jnp.eye(M, dtype=S.dtype)
-    L = jnp.linalg.cholesky(S)  # (A, M, M)
-    WcT = jax.vmap(lambda l, pht: solve_triangular(l, pht.T, lower=True))(L, PHt)
-    sq = jnp.sum(WcT * WcT, axis=1)  # (A, N) — per-cell reductions
+    S_inv = spd_inverse(S)  # (A, M, M) — unrolled, batched
+    Y = jnp.einsum(
+        "anm,amk->ank", PHt, S_inv, preferred_element_type=PHt.dtype
+    )  # (A, N, M)
+    sq = jnp.sum(Y * PHt, axis=-1)  # (A, N) per-cell variance reductions
     if diag_mask is not None:
         sq = sq * diag_mask[None, :]
     return jnp.sum(sq, axis=-1)  # (A,)

@@ -179,24 +179,20 @@ class CMAESPlanner(Planner):
             )
 
         def body(carry, wp_cost):
+            from ipp_rl_tpu.ops.kalman import kf_gain_factor
+
             P, prev, rem, total, alive = carry
             wp, cost = wp_cost
             alive = alive & (cost <= rem)
             Hm, R, _, _ = world.measurement_model_at(wp)
-            PHt = P @ Hm.T
-            S = Hm @ PHt + jnp.diag(R)
-            S = 0.5 * (S + S.T)
-            L = jnp.linalg.cholesky(S)
-            from jax.scipy.linalg import solve_triangular
-
-            WcT = solve_triangular(L, PHt.T, lower=True)
-            sq = jnp.sum(WcT * WcT, axis=0)
+            Wc, _ = kf_gain_factor(P, Hm, R)
+            sq = jnp.sum(Wc * Wc, axis=-1)
             if dm is not None:
                 sq = sq * dm
             gain = jnp.sum(sq)
             reward = gain / (cost + 1.0)
             total = total + jnp.where(alive, reward * (cost + 1.0), 0.0)
-            P = jnp.where(alive, P - WcT.T @ WcT, P)
+            P = jnp.where(alive, P - Wc @ Wc.T, P)
             rem = jnp.where(alive, rem - cost, rem)
             return (P, wp, rem, total, alive), None
 

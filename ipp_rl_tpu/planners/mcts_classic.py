@@ -94,22 +94,16 @@ class ClassicMCTSPlanner(Planner):
         return gains / (costs + 1.0), costs
 
     def _edge(self, P, a, mean):
-        """(Wc, reward) for taking action a from covariance P."""
-        w = self.world
-        H = w.H[a]
-        R = w.R_diag[a]
-        PHt = P @ H.T
-        S = H @ PHt + jnp.diag(R)
-        S = 0.5 * (S + S.T)
-        L = jnp.linalg.cholesky(S)
-        from jax.scipy.linalg import solve_triangular
+        """(Wc, gain) for taking action a from covariance P."""
+        from ipp_rl_tpu.ops.kalman import kf_gain_factor
 
-        WcT = solve_triangular(L, PHt.T, lower=True)
-        sq = jnp.sum(WcT * WcT, axis=0)
+        w = self.world
+        Wc, _ = kf_gain_factor(P, w.H[a], w.R_diag[a])
+        sq = jnp.sum(Wc * Wc, axis=-1)
         dm = self._diag_mask(mean, P)
         if dm is not None:
             sq = sq * dm
-        return WcT.T, jnp.sum(sq)
+        return Wc, jnp.sum(sq)
 
     def _policy_action(
         self, P, pos, budget, mean, eps, key, gcb: bool

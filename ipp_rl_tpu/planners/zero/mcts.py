@@ -38,8 +38,6 @@ from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
-
 from ipp_rl_tpu.config.schema import Config, MCTSZeroHyperParams
 from ipp_rl_tpu.env.world import IPPWorld
 from ipp_rl_tpu.ops.rewards import adaptive_mask
@@ -149,18 +147,17 @@ class ZeroMCTS:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """KF covariance-only update for action ``a`` against running
         covariance P: returns (Wc (N, M), gain) — one simulate_prediction_step
-        (reference planning/common/optimization.py:14-30)."""
+        (reference planning/common/optimization.py:14-30).  Uses the
+        unrolled small-SPD path (no sequential solves in the sim loop)."""
+        from ipp_rl_tpu.ops.kalman import kf_gain_factor
+
         H = self.world.H[a]  # (M, N)
         R = self.world.R_diag[a]
-        PHt = P @ H.T
-        S = H @ PHt + jnp.diag(R)
-        S = 0.5 * (S + S.T)
-        L = jnp.linalg.cholesky(S)
-        WcT = solve_triangular(L, PHt.T, lower=True)  # (M, N)
-        sq = jnp.sum(WcT * WcT, axis=0)  # (N,)
+        Wc, _ = kf_gain_factor(P, H, R)
+        sq = jnp.sum(Wc * Wc, axis=-1)  # (N,)
         if diag_mask is not None:
             sq = sq * diag_mask
-        return WcT.T, jnp.sum(sq)
+        return Wc, jnp.sum(sq)
 
     def puct(
         self,

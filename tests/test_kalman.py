@@ -155,3 +155,18 @@ def test_sweep_vmaps_over_batch(problem):
     assert batched.shape == (2, 2)
     single = kf_sweep_gains(jnp.asarray(P2), jnp.asarray(H_all), jnp.asarray(R_all))
     np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single), rtol=1e-12)
+
+
+def test_spd_inverse_matches_numpy(problem):
+    from ipp_rl_tpu.ops.smallchol import spd_inverse, spd_cholesky_dense
+
+    rng = np.random.default_rng(7)
+    S = np.zeros((5, 9, 9))
+    for i in range(5):
+        Ai = rng.normal(size=(9, 9))
+        S[i] = Ai @ Ai.T + 0.5 * np.eye(9)
+    got = np.asarray(spd_inverse(jnp.asarray(S)))
+    want = np.linalg.inv(S)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    L = np.asarray(spd_cholesky_dense(jnp.asarray(S)))
+    np.testing.assert_allclose(L, np.linalg.cholesky(S), rtol=1e-8, atol=1e-10)

@@ -1,0 +1,42 @@
+"""Mission-node deployment surface test: plan → smooth → message."""
+
+import json
+
+import numpy as np
+
+from ipp_rl_tpu.config.schema import config_from_dict
+from ipp_rl_tpu.ros import IPPMissionNode
+
+
+def test_mission_node_end_to_end(tmp_path):
+    cfg = config_from_dict(
+        {
+            "environment": {"x_dim": 6, "y_dim": 6, "resolution": 4},
+            "experiment": {
+                "title": "node",
+                "constraints": {
+                    "min_altitude": 8,
+                    "max_altitude": 14,
+                    "altitude_spacing": 6,
+                    "budget": 40,
+                },
+                "scenario": {"adaptive": True, "value_threshold": 0.4, "interval_factor": 0},
+                "uav": {"max_v": 2, "max_a": 2, "sampling_time": 2},
+                "missions": [{"type": "greedy"}],
+            },
+        }
+    )
+    node = IPPMissionNode(cfg)
+    out = tmp_path / "waypoints.json"
+    msg = node.run(output_path=str(out), max_steps=5)
+    assert msg.max_v == 2 and msg.max_a == 2 and msg.sampling_time == 2
+    assert len(msg.points) >= 2
+    # smoothed trajectory present and starts at the first waypoint
+    assert msg.sampled_trajectory is not None
+    np.testing.assert_allclose(
+        msg.sampled_trajectory[0], msg.points[0], atol=1e-5
+    )
+    # round-trips through JSON
+    payload = json.loads(out.read_text())
+    assert payload["points"] == msg.points
+    assert len(payload["sampled_trajectory"]) == len(msg.sampled_trajectory)

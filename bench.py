@@ -38,7 +38,9 @@ def main():
 
     cfg_path = os.path.join(os.path.dirname(__file__), "ipp_rl_tpu/config/example.yaml")
     cfg = load_config(cfg_path)
-    world = IPPWorld(cfg)
+    # bf16-streamed sweeps: argmax decisions agree with f32 (tested in
+    # tests/test_kalman.py::test_fast_math_decision_agreement); commits f32
+    world = IPPWorld(cfg, fast_sweeps=True)
     planner = GreedyPlanner(world, MissionConfig(type="greedy"))
 
     B, K = args.batch, args.steps

@@ -79,9 +79,12 @@ class IPPWorld:
     All methods are pure and jit/vmap-safe unless noted.
     """
 
-    def __init__(self, cfg: Config, dtype=jnp.float32):
+    def __init__(self, cfg: Config, dtype=jnp.float32, fast_sweeps: bool = False):
         self.cfg = cfg
         self.dtype = dtype
+        # bf16-streamed planner sweeps (see ops/kalman.kf_sweep_gains);
+        # belief commits remain full precision either way
+        self.fast_sweeps = fast_sweeps
         self.table: ActionTable = build_action_table(cfg)
         t = self.table
         self.H = jnp.asarray(t.H, dtype)  # (A, M, N)

@@ -70,9 +70,21 @@ def create_planner(
         from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
 
         hp = mission_cfg.hyper_params
-        net, state = init_train_state(
-            world.cfg, hp, jax.random.key(0), total_steps=100, dtype=world.dtype
-        )
+        if hp.shared_network:
+            net, state = init_train_state(
+                world.cfg, hp, jax.random.key(0), total_steps=100, dtype=world.dtype
+            )
+            pred = predict_fn(net)
+        else:
+            from ipp_rl_tpu.planners.zero.train import (
+                init_split_train_state,
+                split_predict_fn,
+            )
+
+            net, state = init_split_train_state(
+                world.cfg, hp, jax.random.key(0), total_steps=100, dtype=world.dtype
+            )
+            pred = split_predict_fn(net)
         ckpt = os.path.join(
             checkpoints_dir, f"shared_net.{mission_cfg.model_deployment_filename}"
         )
@@ -86,7 +98,7 @@ def create_planner(
             learner = ZeroLearner(world, mission_cfg, checkpoints_dir=checkpoints_dir)
             learner.learn()
             state = learner.state
-        return ZeroPlanner(world, mission_cfg, predict_fn(net), state.variables())
+        return ZeroPlanner(world, mission_cfg, pred, state.variables())
     raise ValueError(f"Unknown mission type '{t}'")
 
 

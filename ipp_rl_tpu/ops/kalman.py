@@ -114,6 +114,7 @@ def kf_sweep_gains(
     R_all: jnp.ndarray,
     diag_mask: Optional[jnp.ndarray] = None,
     jitter: float = 0.0,
+    fast_math: bool = False,
 ) -> jnp.ndarray:
     """Trace reduction for EVERY action at once — the greedy/MCTS sweep.
 
@@ -130,25 +131,42 @@ def kf_sweep_gains(
 
       gain_a = Σ_j m_j · (PHt_a S_a⁻¹ PHt_aᵀ)_{jj}
              = Σ_j m_j · rowsum( (PHt_a @ S_a⁻¹) ∘ PHt_a )_j
+
+    ``fast_math``: store the streamed (N, A·M) intermediate in bfloat16
+    (halving the dominant HBM traffic) while keeping all contractions
+    accumulating in float32 — decision (argmax) agreement with the f32
+    path is validated in tests; belief commits stay full precision.
     """
     from ipp_rl_tpu.ops.smallchol import spd_inverse
 
     A, M, N = H_all.shape
-    H_flat = H_all.reshape(A * M, N)
-    PHt = (P @ H_flat.T).reshape(N, A, M)  # (N, A, M)
+    acc_dt = P.dtype
+    stream_dt = jnp.bfloat16 if fast_math else acc_dt
+    H_flat = H_all.reshape(A * M, N).astype(stream_dt)
+    PHt = jnp.matmul(
+        P.astype(stream_dt), H_flat.T, preferred_element_type=stream_dt
+    ).reshape(N, A, M)
     PHt = jnp.moveaxis(PHt, 1, 0)  # (A, N, M)
     S = jnp.einsum(
-        "amn,ank->amk", H_all, PHt, preferred_element_type=PHt.dtype
-    )  # (A, M, M)
+        "amn,ank->amk",
+        H_all.astype(stream_dt),
+        PHt,
+        preferred_element_type=acc_dt,
+    )  # (A, M, M) — f32 accumulation
     S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
     S = S + jax.vmap(jnp.diag)(R_all)
     if jitter:
         S = S + jitter * jnp.eye(M, dtype=S.dtype)
-    S_inv = spd_inverse(S)  # (A, M, M) — unrolled, batched
+    S_inv = spd_inverse(S)  # (A, M, M) — unrolled, batched, f32
     Y = jnp.einsum(
-        "anm,amk->ank", PHt, S_inv, preferred_element_type=PHt.dtype
+        "anm,amk->ank",
+        PHt,
+        S_inv.astype(stream_dt),
+        preferred_element_type=stream_dt,
     )  # (A, N, M)
-    sq = jnp.sum(Y * PHt, axis=-1)  # (A, N) per-cell variance reductions
+    sq = jnp.einsum(
+        "anm,anm->an", Y, PHt, preferred_element_type=acc_dt
+    )  # (A, N) per-cell variance reductions, f32 accumulation
     if diag_mask is not None:
-        sq = sq * diag_mask[None, :]
+        sq = sq * diag_mask[None, :].astype(acc_dt)
     return jnp.sum(sq, axis=-1)  # (A,)

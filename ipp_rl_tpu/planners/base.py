@@ -53,7 +53,10 @@ def sweep_rewards(world: IPPWorld, state: BeliefState, jitter: float = 0.0):
                 cfg.scenario.value_threshold,
                 cfg.scenario.interval_factor,
             )
-        gains = kf_sweep_gains(cov, world.H, world.R_diag, mask, jitter)
+        gains = kf_sweep_gains(
+            cov, world.H, world.R_diag, mask, jitter,
+            fast_math=getattr(world, "fast_sweeps", False),
+        )
         costs = action_costs_from(world, pos)
         return reward_from_gain(gains, costs), costs
 

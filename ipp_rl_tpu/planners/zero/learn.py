@@ -49,17 +49,29 @@ from ipp_rl_tpu.planners.zero.train import (
 logger = logging.getLogger(__name__)
 
 
-def save_checkpoint(path: str, state: ZeroTrainState):
+def save_checkpoint(path: str, state):
+    """Serialize the network variables (shared or split state)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {"params": state.params, "batch_stats": state.batch_stats}
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+        f.write(serialization.to_bytes(state.variables()))
 
 
-def load_checkpoint(path: str, state: ZeroTrainState) -> ZeroTrainState:
+def load_checkpoint(path: str, state):
+    """Restore variables into a template train state (shared or split)."""
+    from ipp_rl_tpu.planners.zero.train import SplitTrainState
+
     with open(path, "rb") as f:
-        payload = serialization.from_bytes(
-            {"params": state.params, "batch_stats": state.batch_stats}, f.read()
+        payload = serialization.from_bytes(state.variables(), f.read())
+    if isinstance(state, SplitTrainState):
+        return SplitTrainState(
+            policy=state.policy.replace(
+                params=payload["policy"]["params"],
+                batch_stats=payload["policy"]["batch_stats"],
+            ),
+            value=state.value.replace(
+                params=payload["value"]["params"],
+                batch_stats=payload["value"]["batch_stats"],
+            ),
         )
     return state.replace(
         params=payload["params"], batch_stats=payload["batch_stats"]
@@ -99,13 +111,28 @@ class ZeroLearner:
         total_train_steps = (
             hp.num_self_play_iterations * hp.num_epochs * 64
         )  # approximate horizon for the LR schedule
-        self.net, self.state = init_train_state(
-            self.cfg, hp, self._next_key(), total_steps=total_train_steps,
-            dtype=world.dtype,
-        )
-        self.train_step = make_train_step(self.net, hp, total_train_steps)
+        if hp.shared_network:
+            self.net, self.state = init_train_state(
+                self.cfg, hp, self._next_key(), total_steps=total_train_steps,
+                dtype=world.dtype,
+            )
+            self.train_step = make_train_step(self.net, hp, total_train_steps)
+            self.predict = predict_fn(self.net)  # (variables, planes, mask)
+        else:
+            # split policy/value networks (reference network_wrappers/
+            # policy_network_wrappers.py, value_network_wrappers.py)
+            from ipp_rl_tpu.planners.zero.train import (
+                init_split_train_state,
+                make_split_train_step,
+                split_predict_fn,
+            )
 
-        self.predict = predict_fn(self.net)  # (variables, planes, mask)
+            self.net, self.state = init_split_train_state(
+                self.cfg, hp, self._next_key(), total_steps=total_train_steps,
+                dtype=world.dtype,
+            )
+            self.train_step = make_split_train_step(self.net, hp, total_train_steps)
+            self.predict = split_predict_fn(self.net)
         self.mcts = ZeroMCTS(
             world, hp, mission_cfg.episode_horizon, self.predict
         )

@@ -195,3 +195,142 @@ def predict_fn(net: PolicyValueNetwork):
         return jnp.exp(log_policy), invert_scaled_value_target(value)
 
     return predict
+
+
+# --------------------------------------------------------------- split nets
+#
+# hp.shared_network = False trains independent policy / value networks
+# with the same recipe (reference network_wrappers/policy_network_wrappers.py
+# :34-217 — policy CE + entropy (+AE); value_network_wrappers.py:20-232 —
+# value MSE (+reward)).
+
+
+class SplitTrainState(NamedTuple):
+    policy: ZeroTrainState
+    value: ZeroTrainState
+
+    def variables(self):
+        return {
+            "policy": self.policy.variables(),
+            "value": self.value.variables(),
+        }
+
+
+def init_split_train_state(
+    cfg: Config,
+    hp: MCTSZeroHyperParams,
+    key: jax.Array,
+    total_steps: int,
+    dtype=jnp.float32,
+):
+    """Initialize split policy/value networks + optimizers."""
+    from ipp_rl_tpu.models.networks import PolicyNetwork, ValueNetwork
+
+    kp, kv = jax.random.split(key)
+    s = cfg.environment.num_cells
+    dummy_x = jnp.zeros((1, s, s, hp.input_channels), dtype)
+    dummy_mask = jnp.ones((1, cfg.num_actions), dtype)
+    tx = make_optimizer(hp, total_steps)
+
+    p_net = PolicyNetwork(hp=hp, num_actions=cfg.num_actions)
+    p_vars = p_net.init(kp, dummy_x, dummy_mask, train=False)
+    v_net = ValueNetwork(hp=hp, num_actions=cfg.num_actions)
+    v_vars = v_net.init(kv, dummy_x, train=False)
+
+    def mk(variables):
+        return ZeroTrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.int32(0),
+        )
+
+    return (p_net, v_net), SplitTrainState(policy=mk(p_vars), value=mk(v_vars))
+
+
+def make_split_train_step(nets, hp: MCTSZeroHyperParams, total_steps: int):
+    """Joint step over both split networks; returns per-sample value
+    losses for PER (as the shared path does)."""
+    p_net, v_net = nets
+    tx = make_optimizer(hp, total_steps)
+
+    def policy_loss_fn(params, batch_stats, batch: TrainBatch, rng):
+        log_policy, mutated = p_net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.planes,
+            batch.valid_mask,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        pl = -jnp.sum(batch.policy * log_policy * batch.valid_mask, axis=-1)
+        ent = -jnp.sum(jnp.exp(log_policy) * log_policy, axis=-1)
+        total = pl - hp.entropy_regularization_coeff * ent
+        loss = jnp.mean(total * batch.weight)
+        return loss, (mutated["batch_stats"], jnp.mean(pl), jnp.mean(ent))
+
+    def value_loss_fn(params, batch_stats, batch: TrainBatch, rng):
+        (value, reward), mutated = v_net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.planes,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        vl = jnp.square(value - batch.value)
+        total = hp.value_loss_coeff * vl
+        if hp.use_reward_target:
+            total = total + hp.reward_loss_coeff * jnp.square(reward - batch.reward)
+        loss = jnp.mean(total * batch.weight)
+        return loss, (mutated["batch_stats"], vl)
+
+    @jax.jit
+    def train_step(state: SplitTrainState, batch: TrainBatch, rng: jax.Array):
+        rp, rv = jax.random.split(rng)
+        (pl_loss, (p_stats, pl, ent)), p_grads = jax.value_and_grad(
+            lambda p: policy_loss_fn(p, state.policy.batch_stats, batch, rp),
+            has_aux=True,
+        )(state.policy.params)
+        p_upd, p_opt = tx.update(p_grads, state.policy.opt_state, state.policy.params)
+        new_policy = ZeroTrainState(
+            params=optax.apply_updates(state.policy.params, p_upd),
+            batch_stats=p_stats,
+            opt_state=p_opt,
+            step=state.policy.step + 1,
+        )
+        (v_loss, (v_stats, value_l)), v_grads = jax.value_and_grad(
+            lambda p: value_loss_fn(p, state.value.batch_stats, batch, rv),
+            has_aux=True,
+        )(state.value.params)
+        v_upd, v_opt = tx.update(v_grads, state.value.opt_state, state.value.params)
+        new_value = ZeroTrainState(
+            params=optax.apply_updates(state.value.params, v_upd),
+            batch_stats=v_stats,
+            opt_state=v_opt,
+            step=state.value.step + 1,
+        )
+        metrics = {
+            "policy_loss": pl,
+            "entropy": ent,
+            "value_loss": jnp.mean(value_l),
+            "total_loss": pl_loss + v_loss,
+            "grad_norm": optax.global_norm(p_grads) + optax.global_norm(v_grads),
+        }
+        return SplitTrainState(new_policy, new_value), metrics, value_l
+
+    return train_step
+
+
+def split_predict_fn(nets):
+    """Inference over split nets: mirrors predict_fn's interface with
+    variables = {"policy": ..., "value": ...}."""
+    from ipp_rl_tpu.ops.rewards import invert_scaled_value_target
+
+    p_net, v_net = nets
+
+    def predict(variables, planes, valid_mask):
+        log_policy = p_net.apply(variables["policy"], planes, valid_mask, train=False)
+        value, _ = v_net.apply(variables["value"], planes, train=False)
+        return jnp.exp(log_policy), invert_scaled_value_target(value)
+
+    return predict

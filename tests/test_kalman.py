@@ -170,3 +170,35 @@ def test_spd_inverse_matches_numpy(problem):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
     L = np.asarray(spd_cholesky_dense(jnp.asarray(S)))
     np.testing.assert_allclose(L, np.linalg.cholesky(S), rtol=1e-8, atol=1e-10)
+
+
+def test_fast_math_decision_agreement():
+    """bf16-streamed sweeps must (a) approximate f32 gains closely and
+    (b) agree on the greedy argmax for realistic belief states."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.ops.priors import gp_prior_cov
+
+    cfg = config_from_dict(
+        {"environment": {"x_dim": 10, "y_dim": 10, "resolution": 4}}
+    )
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    H = jnp.asarray(world.table.H, jnp.float32)
+    R = jnp.asarray(world.table.R_diag, jnp.float32)
+    P0 = jnp.asarray(np.asarray(gp_prior_cov(cfg)), jnp.float32)
+    rng = np.random.default_rng(0)
+    agree = 0
+    trials = 20
+    P = P0
+    for t in range(trials):
+        g32 = np.asarray(kf_sweep_gains(P, H, R))
+        g16 = np.asarray(kf_sweep_gains(P, H, R, fast_math=True))
+        rel = np.abs(g16 - g32) / np.maximum(np.abs(g32), 1e-6)
+        assert rel.max() < 0.05, f"trial {t}: rel err {rel.max():.4f}"
+        agree += int(np.argmax(g32) == np.argmax(g16))
+        # evolve the belief with a random commit to vary the state
+        a = int(rng.integers(0, world.num_actions))
+        _, P = kf_update(
+            P, jnp.zeros(100, jnp.float32), H[a], R[a], z=None
+        )
+    assert agree >= trials - 1, f"argmax agreement {agree}/{trials}"

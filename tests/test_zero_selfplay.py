@@ -175,3 +175,26 @@ def test_zero_planner_raw_policy(world, net_and_state):
     p = ZeroPlanner(world, mc, predict_fn(net), state.variables())
     res = p.run(jax.random.key(6), batch_size=2, max_steps=3)
     assert np.all(res.num_steps >= 1)
+
+
+def test_split_network_learner(world, tmp_path):
+    """hp.shared_network=False trains split policy/value nets end-to-end."""
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner, load_checkpoint
+
+    hp_split = TINY_HP.__class__(**{**TINY_HP.__dict__, "shared_network": False})
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=hp_split)
+    learner = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+    )
+    learner.learn(num_iterations=1, num_train_batches=2)
+    import os
+
+    assert os.path.exists(learner.deployment_path())
+    state2 = load_checkpoint(learner.deployment_path(), learner.state)
+    l1 = jax.tree_util.tree_leaves(state2.policy.params)
+    l2 = jax.tree_util.tree_leaves(learner.state.policy.params)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))

@@ -28,7 +28,16 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument(
+        "--mode",
+        choices=("greedy", "rollouts", "zero"),
+        default="greedy",
+        help="greedy: full replan steps (headline); rollouts: all-action "
+        "KF rollout pricing throughput; zero: neural PUCT search replans",
+    )
     args = ap.parse_args()
+    if args.mode == "zero":
+        return bench_zero(args)
 
     from ipp_rl_tpu import load_config
     from ipp_rl_tpu.config.schema import MissionConfig
@@ -78,6 +87,26 @@ def main():
 
     # north star: 4096 missions / 10 ms on 8 chips -> 51200 replans/s/chip
     target = 4096 / 0.010 / 8.0
+    if args.mode == "rollouts":
+        # every replan prices all A candidate actions = A KF rollouts
+        A = world.num_actions
+        print(
+            json.dumps(
+                {
+                    "metric": "batched_kf_rollouts_per_s",
+                    "value": round(replans_per_s * A, 1),
+                    "unit": "rollouts/s",
+                    "vs_baseline": round(replans_per_s / target, 3),
+                    "detail": {
+                        "batch": B,
+                        "actions": A,
+                        "ms_per_replan_step": round(ms_per_step, 3),
+                        "device": str(jax.devices()[0]),
+                    },
+                }
+            )
+        )
+        return
     print(
         json.dumps(
             {
@@ -89,6 +118,67 @@ def main():
                     "batch": B,
                     "steps_per_block": K,
                     "ms_per_replan_step": round(ms_per_step, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+def bench_zero(args):
+    """Neural PUCT search throughput: one replan = num_mcts_simulations
+    batched simulations with inlined network inference."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ipp_rl_tpu import load_config
+    from ipp_rl_tpu.config.schema import MCTSZeroHyperParams
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.planners.zero.features import init_history
+    from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "ipp_rl_tpu/config/example.yaml")
+    cfg = load_config(cfg_path)
+    world = IPPWorld(cfg, fast_sweeps=True)
+    hp = cfg.missions[0].hyper_params
+    B = min(args.batch, 256)  # search trees are memory-heavy
+    net, state = init_train_state(cfg, hp, jax.random.key(0), total_steps=10)
+    mcts = ZeroMCTS(world, hp, cfg.missions[0].episode_horizon, predict_fn(net))
+
+    st = world.init_state(jax.random.key(1), B)
+    hist = jax.vmap(lambda _: init_history(cfg, hp, world.dtype))(jnp.arange(B))
+
+    @jax.jit
+    def replan(variables, key):
+        tree, _ = mcts.search(
+            st.cov, st.mean, st.pos, st.budget, hist, key, net_variables=variables
+        )
+        return tree.Nsa[:, 0]
+
+    variables = state.variables()
+    out = jax.block_until_ready(replan(variables, jax.random.key(2)))
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(replan(variables, jax.random.key(3 + r)))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    target = 4096 / 0.010 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "zero_search_replans_per_s_per_chip",
+                "value": round(B / best, 1),
+                "unit": "replans/s",
+                "vs_baseline": round(B / best / target, 4),
+                "detail": {
+                    "batch": B,
+                    "num_simulations": hp.num_mcts_simulations,
+                    "ms_per_replan": round(best * 1e3, 1),
+                    "network_channels": hp.num_channels,
                     "device": str(jax.devices()[0]),
                 },
             }

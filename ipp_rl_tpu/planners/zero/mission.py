@@ -67,15 +67,16 @@ class ZeroPlanner(Planner):
             return jnp.argmax(policy, axis=-1).astype(jnp.int32)
 
         W = self.num_root_parallel
+        k_search, k_tie = jax.random.split(key)
         if W == 1:
             tree, _ = self.mcts.search(
-                state.cov, state.mean, state.pos, state.budget, hist, key,
+                state.cov, state.mean, state.pos, state.budget, hist, k_search,
                 net_variables=self.variables,
             )
             visits = tree.Nsa[:, 0]  # (B, A)
         else:
             # root-parallel: W independent searches, summed visit counts
-            keys = jax.random.split(key, W)
+            keys = jax.random.split(k_search, W)
             visit_stack = jax.vmap(
                 lambda k: self.mcts.search(
                     state.cov, state.mean, state.pos, state.budget, hist, k,
@@ -83,7 +84,12 @@ class ZeroPlanner(Planner):
                 )[0].Nsa[:, 0]
             )(keys)
             visits = jnp.sum(visit_stack, axis=0)
-        return jnp.argmax(visits, axis=-1).astype(jnp.int32)
+        # random tie-break among maximal visit counts — a plain argmax is
+        # first-index biased, which matters at low simulation counts
+        from ipp_rl_tpu.planners.zero.mcts import _rand_argmax
+
+        tie_keys = jax.random.split(k_tie, visits.shape[0])
+        return jax.vmap(_rand_argmax)(tie_keys, visits)
 
     def run(
         self,

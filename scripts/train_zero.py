@@ -1,0 +1,107 @@
+"""Train a (reduced-scale) MCTS-zero agent on the canonical 10x10 world
+and evaluate it against greedy / random baselines on held-out worlds.
+
+Usage: python scripts/train_zero.py [--iterations N] [--envs E] [--sims S]
+
+Produces checkpoints/ + logs/train_metrics.jsonl + a final comparison
+table (deploy-time search vs baselines at matched budget).
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from ipp_rl_tpu import load_config
+from ipp_rl_tpu.config.schema import MCTSZeroHyperParams, MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.planners import GreedyPlanner, RandomDiscretePlanner
+from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+from ipp_rl_tpu.planners.zero.mission import ZeroPlanner
+from ipp_rl_tpu.utils import setup_logger
+
+logger = logging.getLogger("train_zero")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=6)
+    ap.add_argument("--envs", type=int, default=48)
+    ap.add_argument("--sims", type=int, default=24)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=6)
+    ap.add_argument("--max-episode-steps", type=int, default=16)
+    ap.add_argument("--train-batches", type=int, default=24)
+    ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--out", default="runs/zero_small")
+    args = ap.parse_args()
+
+    setup_logger(os.path.join(args.out, "logs"))
+    cfg = load_config(
+        os.path.join(os.path.dirname(__file__), "../ipp_rl_tpu/config/example.yaml")
+    )
+    hp = MCTSZeroHyperParams(
+        num_mcts_simulations=args.sims,
+        max_episode_steps=args.max_episode_steps,
+        num_self_play_iterations=args.iterations,
+        num_channels=args.channels,
+        num_encoder_res_blocks=args.blocks,
+        num_global_pooling_channels=min(32, args.channels // 2),
+        batch_size=64,
+        num_epochs=2,
+        temperature_threshold=8,
+        shuffle_prior_cov=True,
+        continuous_network_update=True,
+        puct_init=15.0,
+        max_valid_action_distance=11.5,
+    )
+    mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
+    world = IPPWorld(cfg, fast_sweeps=True)
+
+    learner = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=os.path.join(args.out, "checkpoints"),
+        log_dir=os.path.join(args.out, "logs"),
+        num_envs=args.envs,
+    )
+    t0 = time.time()
+    learner.learn(num_iterations=args.iterations, num_train_batches=args.train_batches)
+    logger.info("training done in %.1f min", (time.time() - t0) / 60)
+
+    # -------- evaluation on held-out worlds at matched budget ----------
+    B = args.eval_batch
+    key = jax.random.key(12345)
+    init_state = world.init_state(key, B)
+
+    results = {}
+    zero_planner = ZeroPlanner(world, mc, learner.predict, learner.state.variables())
+    for name, planner in [
+        ("mcts_zero", zero_planner),
+        ("greedy", GreedyPlanner(world, MissionConfig(type="greedy"))),
+        ("random", RandomDiscretePlanner(world, MissionConfig(type="random_discrete"))),
+    ]:
+        t0 = time.time()
+        res = planner.run(jax.random.key(7), B, max_steps=25, init_state=init_state)
+        results[name] = {
+            "final_uncertainty": float(res.metrics["uncertainty"][:, -1].mean()),
+            "final_rmse": float(res.metrics["rmse"][:, -1].mean()),
+            "mean_steps": float(res.num_steps.mean()),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        logger.info("%s: %s", name, results[name])
+
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -218,3 +218,91 @@ def test_greedy_step_parity(world):
     rewards_ours = gains / (costs + 1.0)
     np.testing.assert_allclose(rewards_ours, rewards_ref, rtol=1e-7)
     assert int(np.argmax(rewards_ours)) == int(np.argmax(rewards_ref))
+
+
+def test_full_greedy_trajectory_parity(world, canonical_cfg):
+    """End-to-end action-sequence parity: a full greedy mission driven by
+    the REFERENCE update loop (kalman_filter_update + per-action
+    simulate-prediction argmax, reference planning/greedy_mission.py:73-110)
+    vs our batched planner, with identical deterministic (noiseless)
+    observations z = Z·gt.  Action sequences must match exactly."""
+    import jax
+
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.planners import GreedyPlanner
+    from ipp_rl_tpu.ops.kalman import kf_sweep_gains
+
+    t = world.table
+    A_count = t.num_actions
+    n = 100
+    budget0 = canonical_cfg.constraints.budget
+
+    # deterministic world: zero measurement noise
+    noiseless = IPPWorld(canonical_cfg, dtype=jnp.float64)
+    noiseless.noise_std = jnp.zeros_like(noiseless.noise_std)
+
+    rng = np.random.default_rng(9)
+    gt = rng.uniform(0, 1, n)
+
+    # ---- reference-style numpy driver -------------------------------
+    P = np.asarray(gp_prior_cov(canonical_cfg))
+    mean = 0.5 * np.ones(n)
+    pos = np.array([2.0, 2.0, 14.0])
+    budget = budget0
+    ref_actions_seq = []
+    max_steps = 12
+    for _ in range(max_steps):
+        costs = ref_actions.compute_flight_times(t.lattice.xyz, pos, UAV)
+        rewards = np.full(A_count, -np.inf)
+        adaptive = gt_mask = None
+        msk = ref_rewards.compute_adaptive_msk(
+            mean.reshape(10, 10), P, 0.4, 0.0
+        )
+        for a in range(A_count):
+            if not (0 < costs[a] <= budget):
+                continue
+            m = int(t.num_meas[a])
+            _, P1 = RefMapping.kalman_filter_update(
+                P, t.H[a, :m], np.diag(t.R_diag[a, :m]), cov_only=True
+            )
+            gain = np.sum((np.diag(P) - np.diag(P1))[msk])
+            rewards[a] = gain / (costs[a] + 1.0)
+        a_star = int(np.argmax(rewards))
+        if not np.isfinite(rewards[a_star]):
+            break
+        m = int(t.num_meas[a_star])
+        z = t.Z[a_star, :m] @ gt  # noiseless block means
+        x1, P1 = RefMapping.kalman_filter_update(
+            P,
+            t.H[a_star, :m],
+            np.diag(t.R_diag[a_star, :m]),
+            grid_mean=mean.reshape(10, 10),
+            observation=z,
+        )
+        mean, P = x1, P1
+        budget -= costs[a_star]
+        pos = t.lattice.xyz[a_star]
+        ref_actions_seq.append(a_star)
+
+    # ---- our batched planner on the same world ----------------------
+    state = noiseless.init_state(
+        jax.random.key(0), 1, ground_truth=jnp.asarray(gt)
+    )
+    planner = GreedyPlanner(noiseless, MissionConfig(type="greedy"))
+    res = planner.run(jax.random.key(1), 1, max_steps=max_steps, init_state=state)
+    ours = res.waypoints[0]
+    ours = ours[~np.isnan(ours[:, 0])]
+
+    ref_xyz = t.lattice.xyz[ref_actions_seq]
+    assert len(ours) == len(ref_xyz), (
+        f"step counts differ: ours {len(ours)} vs ref {len(ref_xyz)}"
+    )
+    np.testing.assert_allclose(ours, ref_xyz, atol=1e-9)
+    # final belief parity as well
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.mean[0]), mean.flatten(), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.cov[0]), P, atol=1e-7
+    )

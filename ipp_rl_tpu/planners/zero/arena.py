@@ -108,10 +108,9 @@ class Arena:
             cost = travel_costs(
                 world.actions_xyz[action], pos, cfg.uav.max_v, cfg.uav.max_a
             )
-            reward = gain / (cost + 1.0)
-            total = total + jnp.where(
-                running, (hp.gamma**depth) * reward, 0.0
-            )
+            reward = (gain / (cost + 1.0)).astype(dt)
+            disc = jnp.asarray(hp.gamma, dt) ** depth.astype(dt)
+            total = total + jnp.where(running, disc * reward, jnp.asarray(0.0, dt))
             cov_next = cov - jnp.einsum("bnm,bkm->bnk", Wc, Wc)
             keep = running[:, None, None]
             cov = jnp.where(keep, cov_next, cov)

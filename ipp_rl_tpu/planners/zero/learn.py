@@ -89,6 +89,7 @@ class ZeroLearner:
         log_dir: str = "logs",
         num_envs: Optional[int] = None,
         seed: int = 42,
+        use_tensorboard: bool = False,
     ):
         self.world = world
         self.cfg: Config = world.cfg
@@ -99,6 +100,16 @@ class ZeroLearner:
         os.makedirs(checkpoints_dir, exist_ok=True)
         os.makedirs(log_dir, exist_ok=True)
         self._metrics_file = os.path.join(log_dir, "train_metrics.jsonl")
+        # optional TensorBoard surface (reference wrappers :177-195);
+        # JSONL remains the primary metrics stream
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tensorboard"))
+            except Exception as e:  # pragma: no cover
+                logger.warning("tensorboard unavailable: %s", e)
 
         hp = self.hp
         # reference: num_workers × num_episodes sequential episodes
@@ -164,6 +175,13 @@ class ZeroLearner:
     def _log(self, record: Dict):
         with open(self._metrics_file, "a") as f:
             f.write(json.dumps({k: _scalar(v) for k, v in record.items()}) + "\n")
+        if self._tb is not None:
+            step = int(record.get("iteration", 0))
+            for k, v in record.items():
+                val = _scalar(v)
+                if isinstance(val, (int, float)) and k != "iteration":
+                    self._tb.add_scalar(f"train/{k}", val, step)
+            self._tb.flush()
 
     def schedule_exploration(self, iteration: int):
         if iteration > 0:

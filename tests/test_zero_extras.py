@@ -1,0 +1,136 @@
+"""Arena gating, replay augmentation, tensorboard logging, temperature
+field — the remaining subsystem corners."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipp_rl_tpu.config.schema import MCTSZeroHyperParams, MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+
+
+HP = MCTSZeroHyperParams(
+    num_mcts_simulations=4,
+    max_episode_steps=4,
+    num_channels=16,
+    num_encoder_res_blocks=2,
+    num_global_pooling_channels=4,
+    batch_size=8,
+    num_epochs=1,
+    num_arena_games=3,
+    continuous_network_update=False,  # force the arena path
+    num_augmented_samples=1,
+)
+
+
+@pytest.fixture(scope="module")
+def world(small_cfg):
+    return IPPWorld(small_cfg, dtype=jnp.float32)
+
+
+def test_arena_play_games(world):
+    from ipp_rl_tpu.planners.zero.arena import Arena
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    net, s1 = init_train_state(small_cfg := world.cfg, HP, jax.random.key(0), 10)
+    _, s2 = init_train_state(world.cfg, HP, jax.random.key(1), 10)
+    arena = Arena(world, HP, episode_horizon=2, max_game_steps=4)
+    pred = predict_fn(net)
+    r_prev, r_curr = arena.play_games(
+        pred, s1.variables(), s2.variables(), num_games=3,
+        key=jax.random.key(2), num_simulations=4,
+    )
+    assert np.isfinite(float(r_prev)) and np.isfinite(float(r_curr))
+    # cov-only dynamics always gain information → positive rewards
+    assert float(r_prev) > 0 and float(r_curr) > 0
+
+
+def test_learner_arena_gating(world, tmp_path):
+    """continuous_network_update=False exercises accept/rollback."""
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=HP)
+    learner = ZeroLearner(
+        world, mc,
+        checkpoints_dir=str(tmp_path / "c"),
+        log_dir=str(tmp_path / "l"),
+        num_envs=2,
+    )
+    learner.arena.max_game_steps = 3
+    learner.learn(num_iterations=1, num_train_batches=1, arena_games=2)
+    # either accepted (deployment ckpt) or rolled back (temp ckpt restored)
+    assert os.path.exists(str(tmp_path / "c" / "shared_net.temp"))
+
+
+def test_replay_augmentation(world):
+    from ipp_rl_tpu.planners.zero.replay import ReplayBuffer
+    from ipp_rl_tpu.planners.zero.selfplay import SelfPlay, Trajectory
+    from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    net, state = init_train_state(world.cfg, HP, jax.random.key(0), 10)
+    mcts = ZeroMCTS(world, HP, 2, predict_fn(net))
+    sp = SelfPlay(world, HP, 2, mcts)
+    traj, _ = sp.run(jax.random.key(1), num_envs=2, net_variables=state.variables())
+
+    buf = ReplayBuffer(world, HP, window_size=1)
+    buf.add_iteration(0, traj)
+    batch, idx = buf.sample(8, np.random.default_rng(0), jax.random.key(2))
+    # num_augmented_samples=1 → draw 4, tile ×2
+    assert batch.planes.shape[0] == 8
+    n = world.cfg.environment.num_cells
+    assert batch.planes.shape[1:] == (n, n, HP.input_channels)
+    # targets tiled: second half equals first half
+    np.testing.assert_allclose(np.asarray(batch.policy[:4]), np.asarray(batch.policy[4:]))
+    np.testing.assert_allclose(np.asarray(batch.value[:4]), np.asarray(batch.value[4:]))
+    # augmented planes are shifted copies — not identical, same stats scale
+    p0, p1 = np.asarray(batch.planes[:4]), np.asarray(batch.planes[4:])
+    assert not np.allclose(p0, p1)
+
+
+def test_tensorboard_writer(world, tmp_path):
+    torch_tb = pytest.importorskip("torch.utils.tensorboard")
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+
+    hp = MCTSZeroHyperParams(**{**HP.__dict__, "continuous_network_update": True})
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=hp)
+    learner = ZeroLearner(
+        world, mc,
+        checkpoints_dir=str(tmp_path / "c"),
+        log_dir=str(tmp_path / "l"),
+        num_envs=2,
+        use_tensorboard=True,
+    )
+    learner.learn(num_iterations=1, num_train_batches=1)
+    tb_dir = str(tmp_path / "l" / "tensorboard")
+    assert os.path.isdir(tb_dir) and len(os.listdir(tb_dir)) > 0
+
+
+def test_temperature_field(tmp_path):
+    from PIL import Image
+
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.fields import temperature_data_field
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 4), dtype=np.uint8)
+    Image.fromarray(img, "RGBA").save(tmp_path / "temp.png")
+
+    cfg = config_from_dict(
+        {
+            "environment": {"x_dim": 8, "y_dim": 8, "resolution": 4},
+            "sensor": {
+                "simulation": {
+                    "type": "temperature_data_field",
+                    "dataset_filename": "temp.png",
+                }
+            },
+        }
+    )
+    field = temperature_data_field(cfg, datasets_dir=str(tmp_path))
+    assert field.shape == (8, 8)
+    assert field.min() >= 0.0 and field.max() <= 1.0
+    assert field.max() == 1.0  # min-max normalized

@@ -218,7 +218,32 @@ class Experiment:
         if make_plots:
             self._plot_metrics(metric_names)
             self._plot_paths()
+            self._plot_run_stats()
         return kpis
+
+    def _plot_run_stats(self):
+        """Waypoint-count boxplots + planner wall-time bars (reference
+        experiments.py:268-297, 354-396)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plots_dir = os.path.join(self.out_dir, "plots")
+        os.makedirs(plots_dir, exist_ok=True)
+        names = list(self.results)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        ax1.boxplot(
+            [self.results[n].num_steps for n in names], tick_labels=names
+        )
+        ax1.set_ylabel("waypoints per mission")
+        ax1.tick_params(axis="x", rotation=30)
+        ax2.bar(names, [self.run_times.get(n, 0.0) for n in names])
+        ax2.set_ylabel("planner wall time [s] (whole batch)")
+        ax2.tick_params(axis="x", rotation=30)
+        fig.tight_layout()
+        fig.savefig(os.path.join(plots_dir, "run_stats.png"), dpi=120)
+        plt.close(fig)
 
     def _plot_metrics(self, metric_names: List[str]):
         import matplotlib

@@ -63,3 +63,32 @@ def shard_batch(mesh: Mesh, tree):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Initialize JAX distributed across hosts and return the global mesh.
+
+    Replaces the reference's single-host multiprocessing architecture
+    (SURVEY.md §5 communication inventory): one ``jax.distributed``
+    runtime, one global (dp, mp) mesh spanning every chip on every host.
+    Mission batches shard over dp (ICI within a slice, DCN across
+    hosts); covariance rows shard over mp for large grids
+    (parallel/sharded_kalman.py).
+
+    On a single host this is a no-op wrapper around make_mesh().
+    Multi-host usage (same invocation on every host):
+
+        mesh = initialize_multihost("10.0.0.1:1234", num_processes=4,
+                                    process_id=int(os.environ["TASK_ID"]))
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh()

@@ -123,10 +123,23 @@ class Planner:
         batch_size: int,
         max_steps: Optional[int] = None,
         init_state: Optional[BeliefState] = None,
+        think_time_per_step: float = 0.0,
     ) -> MissionResult:
-        """Execute the batched mission loop and collect metric histories."""
+        """Execute the batched mission loop and collect metric histories.
+
+        ``think_time_per_step``: additional budget consumed per replan for
+        planning time ("effective mission time", reference
+        planning/greedy_mission.py:105-106 — there measured per step with
+        time.time(); here the compiled per-step latency is constant, so a
+        measured scalar is subtracted each step when
+        cfg.evaluation.use_effective_mission_time is on)."""
         world = self.world
         T = max_steps if max_steps is not None else self.max_steps()
+        think = (
+            think_time_per_step
+            if self.cfg.evaluation.use_effective_mission_time
+            else 0.0
+        )
         k_init, k_run = jax.random.split(key)
         state0 = (
             init_state
@@ -150,6 +163,10 @@ class Planner:
             can_move = state.active & (cost <= state.budget) & (cost > 0)
             state = state.replace(active=can_move)
             state = world.step_index(state, action, k_meas)
+            if think:
+                state = state.replace(
+                    budget=jnp.where(can_move, state.budget - think, state.budget)
+                )
             metrics = world.evaluate(state)
             wp = jnp.where(can_move[:, None], world.actions_xyz[action], jnp.nan)
             return (state, t + 1), (metrics, wp, state.budget, can_move, cost)

@@ -97,10 +97,16 @@ class ZeroPlanner(Planner):
         batch_size: int,
         max_steps: Optional[int] = None,
         init_state: Optional[BeliefState] = None,
+        think_time_per_step: float = 0.0,
     ) -> MissionResult:
         world, cfg, hp = self.world, self.cfg, self.hp
         dt = world.dtype
         T = max_steps if max_steps is not None else self.max_steps()
+        think = (
+            think_time_per_step
+            if cfg.evaluation.use_effective_mission_time
+            else 0.0
+        )
         k_init, k_run = jax.random.split(key)
         state0 = (
             init_state
@@ -132,6 +138,10 @@ class ZeroPlanner(Planner):
             )
             state = state.replace(active=can_move)
             state = world.step_index(state, action, k_meas)
+            if think:
+                state = state.replace(
+                    budget=jnp.where(can_move, state.budget - think, state.budget)
+                )
             metrics = world.evaluate(state)
             wp = jnp.where(can_move[:, None], world.actions_xyz[action], jnp.nan)
             return (state, hist, t + 1), (metrics, wp, state.budget, can_move, cost)

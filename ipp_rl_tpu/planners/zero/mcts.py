@@ -469,8 +469,9 @@ class ZeroMCTS:
 
         root_mask = jax.vmap(self.valid_actions)(pos, budget)
 
-        def sim_step(carry, k):
+        def sim_step(i, carry):
             tree, first = carry
+            k = jax.random.fold_in(key, i)
             k_sel, k_noise = jax.random.split(k)
             sel_keys = jax.random.split(k_sel, B)
             noise_keys = jax.random.split(k_noise, B)
@@ -492,10 +493,18 @@ class ZeroMCTS:
             tree = jax.vmap(self._backup)(
                 tree, p_nodes, p_actions, p_rewards, p_len, leaf_value
             )
-            return (tree, first & ~(leaf == 0)), None
+            return (tree, first & ~(leaf == 0))
 
-        keys = jax.random.split(key, sims)
-        (tree, _), _ = jax.lax.scan(sim_step, (tree, jnp.ones((B,), bool)), keys)
+        # DYNAMIC trip count: node capacity is static (sims), but the loop
+        # bound is a traced scalar — prevents backend loop unrolling, which
+        # hangs this environment's remote compiler for >32-iteration
+        # network-bearing loops (see CLAUDE.md)
+        (tree, _) = jax.lax.fori_loop(
+            0,
+            jnp.asarray(sims, jnp.int32),
+            sim_step,
+            (tree, jnp.ones((B,), bool)),
+        )
         return tree, root_mask
 
     # ------------------------------------------------------- policy readout

@@ -114,7 +114,6 @@ class ZeroPlanner(Planner):
             else world.init_state(k_init, batch_size)
         )
         metrics0 = {k: np.asarray(v) for k, v in world.evaluate(state0).items()}
-        init_budget = state0.budget
         hist0 = jax.vmap(lambda _: init_history(cfg, hp, dt))(
             jnp.arange(batch_size)
         )
@@ -122,9 +121,13 @@ class ZeroPlanner(Planner):
         def step_fn(carry, k):
             state, hist, t = carry
             k_plan, k_meas = jax.random.split(k)
-            # replan loop runs while budget >= resolution (reference :613)
+            # replan loop runs while budget >= resolution (reference :613);
+            # budget fraction normalized by the config budget
             hist = jax.vmap(push_history)(
-                hist, state.cov, state.pos, state.budget / init_budget
+                hist,
+                state.cov,
+                state.pos,
+                state.budget / jnp.asarray(cfg.constraints.budget, dt),
             )
             action = self._replan(state, hist, k_plan)
             cost = travel_costs(

@@ -111,10 +111,11 @@ class ReplayBuffer:
             traj = self._iters[int(it)]
             hist_len = min(L, t + 1)
             lens[i] = hist_len
+            budget0 = world.cfg.constraints.budget
             for k in range(hist_len):
                 covs[i, k] = traj.cov[e, t - k]
                 poss[i, k] = traj.prev_pos[e, t - k]
-                bfrs[i, k] = traj.budget[e, t - k] / traj.init_budget[e]
+                bfrs[i, k] = traj.budget[e, t - k] / budget0
             means[i] = traj.mean[e, t]
             pols[i] = traj.policy[e, t]
             vals[i] = traj.value[e, t]

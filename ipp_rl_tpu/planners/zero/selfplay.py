@@ -142,8 +142,14 @@ class SelfPlay:
                 state.budget >= cfg.environment.resolution
             )
 
+            # budget fraction normalized by the CONFIG budget, matching the
+            # reference even under shuffled episode budgets (reference
+            # episode_generators.py:113 uses meta initial_budget)
             hist = jax.vmap(push_history)(
-                hist, state.cov, state.pos, state.budget / init_budget
+                hist,
+                state.cov,
+                state.pos,
+                state.budget / jnp.asarray(cfg.constraints.budget, dt),
             )
 
             tree, root_mask = self.mcts.search(

@@ -108,3 +108,35 @@ def test_greedy_beats_random(world):
     g_unc = gres.metrics["uncertainty"][:, -1].mean()
     r_unc = rres.metrics["uncertainty"][:, -1].mean()
     assert g_unc < r_unc
+
+
+def test_effective_mission_time(world):
+    """Budget additionally consumed by think time → fewer steps
+    (reference greedy_mission.py:105-106)."""
+    import dataclasses
+
+    from ipp_rl_tpu.config.schema import EvaluationConfig
+
+    cfg_eff = dataclasses.replace(
+        world.cfg, evaluation=EvaluationConfig(use_effective_mission_time=True)
+    )
+    from ipp_rl_tpu.env.world import IPPWorld
+
+    w2 = IPPWorld(cfg_eff, dtype=world.dtype)
+    p_plain = GreedyPlanner(world, MissionConfig(type="greedy"))
+    p_eff = GreedyPlanner(w2, MissionConfig(type="greedy"))
+    res_plain = p_plain.run(jax.random.key(42), 2, max_steps=15)
+    res_eff = p_eff.run(jax.random.key(42), 2, max_steps=15, think_time_per_step=3.0)
+    assert np.all(res_eff.num_steps < res_plain.num_steps)
+
+
+def test_determinism(world):
+    """Identical keys → bit-identical mission outcomes (reproducibility,
+    SURVEY.md §4 seeding discipline)."""
+    p = GreedyPlanner(world, MissionConfig(type="greedy"))
+    r1 = p.run(jax.random.key(5), 2, max_steps=6)
+    r2 = p.run(jax.random.key(5), 2, max_steps=6)
+    np.testing.assert_array_equal(r1.metrics["rmse"], r2.metrics["rmse"])
+    np.testing.assert_array_equal(r1.waypoints, r2.waypoints)
+    r3 = p.run(jax.random.key(6), 2, max_steps=6)
+    assert not np.array_equal(r1.metrics["rmse"], r3.metrics["rmse"])

@@ -31,6 +31,26 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+# Backend toggle for the small-SPD inverse: the XLA unrolled path
+# (ops/smallchol.py) is default; the Pallas kernel
+# (ops/pallas_kernels.py) guarantees a single fused HBM pass.
+_USE_PALLAS_INVERSE = False
+
+
+def set_pallas_inverse(enabled: bool):
+    global _USE_PALLAS_INVERSE
+    _USE_PALLAS_INVERSE = bool(enabled)
+
+
+def _small_spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    if _USE_PALLAS_INVERSE:
+        from ipp_rl_tpu.ops.pallas_kernels import spd_inverse_pallas
+
+        return spd_inverse_pallas(S)
+    from ipp_rl_tpu.ops.smallchol import spd_inverse
+
+    return spd_inverse(S)
+
 
 def innovation_inverse(
     P: jnp.ndarray, H: jnp.ndarray, R_diag: jnp.ndarray, jitter: float = 0.0
@@ -40,14 +60,12 @@ def innovation_inverse(
     (ops/smallchol.py): no sequential Cholesky/triangular-solve ops in
     the compiled program — batched callers (per-mission commits, per-sim
     tree edges) stay on the VPU/MXU."""
-    from ipp_rl_tpu.ops.smallchol import spd_inverse
-
     PHt = P @ H.T  # (N, M)
     S = H @ PHt + jnp.diag(R_diag)
     S = 0.5 * (S + S.T)
     if jitter:
         S = S + jitter * jnp.eye(S.shape[0], dtype=S.dtype)
-    return PHt, spd_inverse(S)
+    return PHt, _small_spd_inverse(S)
 
 
 def kf_gain_factor(
@@ -137,8 +155,6 @@ def kf_sweep_gains(
     accumulating in float32 — decision (argmax) agreement with the f32
     path is validated in tests; belief commits stay full precision.
     """
-    from ipp_rl_tpu.ops.smallchol import spd_inverse
-
     A, M, N = H_all.shape
     acc_dt = P.dtype
     stream_dt = jnp.bfloat16 if fast_math else acc_dt
@@ -157,7 +173,7 @@ def kf_sweep_gains(
     S = S + jax.vmap(jnp.diag)(R_all)
     if jitter:
         S = S + jitter * jnp.eye(M, dtype=S.dtype)
-    S_inv = spd_inverse(S)  # (A, M, M) — unrolled, batched, f32
+    S_inv = _small_spd_inverse(S)  # (A, M, M) — unrolled, batched, f32
     Y = jnp.einsum(
         "anm,amk->ank",
         PHt,

@@ -79,7 +79,7 @@ def sharded_kf_update(
     specs_out = (P("mp", None), P("mp"))
     fn = shard_map(
         kernel, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
-        check_rep=False,
+        check_vma=False,
     )
     if z is None:
         z = jnp.zeros((H.shape[0],), cov.dtype)
@@ -91,7 +91,7 @@ def sharded_kf_update(
 
         fn = shard_map(
             kernel_cov, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
-            check_rep=False,
+            check_vma=False,
         )
     P_next, mean_next = fn(cov, mean, H, R_diag, z)
     # symmetrize on the host-side result (cheap elementwise)
@@ -121,6 +121,6 @@ def sharded_sweep_gains(
         mesh=mesh,
         in_specs=(P(), P("mp", None, None), P("mp", None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,  # all_gather output IS replicated; checker can't infer
     )
     return fn(cov, H_all, R_all, mask)

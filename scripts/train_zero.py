@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--train-batches", type=int, default=24)
     ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--out", default="runs/zero_small")
+    ap.add_argument(
+        "--puct-init", type=float, default=15.0,
+        help="lower (e.g. 4) concentrates search targets at low sim counts",
+    )
+    ap.add_argument("--eval-steps", type=int, default=25)
     args = ap.parse_args()
 
     setup_logger(os.path.join(args.out, "logs"))
@@ -59,7 +64,8 @@ def main():
         temperature_threshold=8,
         shuffle_prior_cov=True,
         continuous_network_update=True,
-        puct_init=15.0,
+        puct_init=args.puct_init,
+        puct_init_min=min(4.0, args.puct_init),
         max_valid_action_distance=11.5,
     )
     mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
@@ -89,7 +95,9 @@ def main():
         ("random", RandomDiscretePlanner(world, MissionConfig(type="random_discrete"))),
     ]:
         t0 = time.time()
-        res = planner.run(jax.random.key(7), B, max_steps=25, init_state=init_state)
+        res = planner.run(
+            jax.random.key(7), B, max_steps=args.eval_steps, init_state=init_state
+        )
         results[name] = {
             "final_uncertainty": float(res.metrics["uncertainty"][:, -1].mean()),
             "final_rmse": float(res.metrics["rmse"][:, -1].mean()),

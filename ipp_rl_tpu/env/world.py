@@ -30,7 +30,11 @@ from ipp_rl_tpu.ops import metrics as metrics_ops
 from ipp_rl_tpu.ops.geometry import travel_costs
 from ipp_rl_tpu.ops.kalman import kf_update
 from ipp_rl_tpu.ops.priors import init_belief
-from ipp_rl_tpu.ops.sensor_model import ActionTable, build_action_table
+from ipp_rl_tpu.ops.sensor_model import (
+    ActionTable,
+    build_action_table,
+    build_sweep_plan,
+)
 from ipp_rl_tpu.env.fields import generate_ground_truth
 
 
@@ -98,6 +102,22 @@ class IPPWorld:
         self.pair_cost = jnp.asarray(t.pair_cost, dtype)  # (A, A)
         self.num_actions = t.num_actions
         self.m_max_cont = _continuous_mmax(cfg)
+        # structured sweep plan (ops/kalman.kf_sweep_gains_structured):
+        # rf==1 groups gather innovation/gain blocks straight from P/Q,
+        # rf>1 groups stream a group-locally padded P·Hᵀ
+        plan = build_sweep_plan(t)
+        self.sweep_groups = tuple(
+            {
+                "cells": None if g.cells is None else jnp.asarray(g.cells),
+                "H": None if g.H is None else jnp.asarray(g.H, dtype),
+                "R": jnp.asarray(g.R, dtype),
+                "vv": jnp.asarray(
+                    g.valid[:, :, None] & g.valid[:, None, :], dtype
+                ),
+            }
+            for g in plan.groups
+        )
+        self.sweep_perm = jnp.asarray(plan.perm)
         # initial UAV position: corner cell centre at max altitude
         # (reference planning/missions.py:69 init_action = [2, 2, 14])
         res = cfg.environment.resolution

@@ -128,6 +128,75 @@ def _action_measurement_model(
     return H, Z
 
 
+@dataclass(frozen=True)
+class SweepGroup:
+    """One resolution-factor group of the action lattice for the
+    structured sweep (ops/kalman.kf_sweep_gains_structured).
+
+    Exactly one of (``cells``, ``H``) is set:
+      * ``cells`` — gather path (rf == 1): every valid H row is a one-hot
+        cell indicator with weight 1, so innovation/gain blocks are pure
+        gathers from P and Q = P·diag(m)·P;
+      * ``H``     — dense path (rf > 1): group-local (Ag, Mg, N) rows
+        with Mg = the group's own max measurement count (much smaller
+        than the global pad, shrinking the streamed P·Hᵀ intermediate).
+    """
+
+    idx: np.ndarray  # (Ag,) int32 — action indices in lattice order
+    R: np.ndarray  # (Ag, Mg) noise diag (pad rows 1.0)
+    valid: np.ndarray  # (Ag, Mg) bool
+    cells: np.ndarray | None = None  # (Ag, Mg) int32 cell per row
+    H: np.ndarray | None = None  # (Ag, Mg, N)
+
+
+@dataclass(frozen=True)
+class SweepPlan:
+    """Static grouping of the lattice for the structured all-action sweep."""
+
+    groups: Tuple[SweepGroup, ...]
+    perm: np.ndarray  # (A,) int32: gains_lattice = concat(group gains)[perm]
+    needs_q: bool  # any gather group present → Q = P·diag(m)·P required
+
+
+def build_sweep_plan(table: ActionTable) -> SweepPlan:
+    """Group actions by resolution factor; rf==1 groups become gather
+    groups (one-hot rows), rf>1 groups dense with group-local padding."""
+    A = table.num_actions
+    rfs = np.asarray(table.res_factor)
+    groups = []
+    order = []
+    for rf in sorted(set(int(r) for r in rfs)):
+        idx = np.nonzero(rfs == rf)[0].astype(np.int32)
+        mg = int(table.num_meas[idx].max())
+        H_g = table.H[idx, :mg]  # (Ag, Mg, N)
+        R_g = table.R_diag[idx, :mg]
+        valid_g = table.meas_valid[idx, :mg]
+        one_hot_ok = False
+        if rf == 1:
+            # valid rows must be exact one-hot weight-1 indicators
+            row_sums = H_g.sum(axis=-1)
+            row_max = H_g.max(axis=-1)
+            one_hot_ok = bool(
+                np.all(np.where(valid_g, row_sums, 1.0) == 1.0)
+                and np.all(np.where(valid_g, row_max, 1.0) == 1.0)
+            )
+        if one_hot_ok:
+            cells = np.argmax(H_g, axis=-1).astype(np.int32)
+            cells = np.where(valid_g, cells, 0)
+            groups.append(
+                SweepGroup(idx=idx, R=R_g, valid=valid_g, cells=cells)
+            )
+        else:
+            groups.append(SweepGroup(idx=idx, R=R_g, valid=valid_g, H=H_g))
+        order.append(idx)
+    order = np.concatenate(order) if order else np.zeros((0,), np.int32)
+    perm = np.empty((A,), dtype=np.int32)
+    perm[order] = np.arange(A, dtype=np.int32)
+    # perm maps lattice index -> position in the concatenated group output
+    needs_q = any(g.cells is not None for g in groups)
+    return SweepPlan(groups=tuple(groups), perm=perm, needs_q=needs_q)
+
+
 def build_action_table(cfg: Config) -> ActionTable:
     """Precompute the full per-action measurement-model table from config."""
     lattice = build_action_lattice(cfg)

@@ -20,7 +20,7 @@ import numpy as np
 from ipp_rl_tpu.config.schema import Config, MissionConfig
 from ipp_rl_tpu.env.world import BeliefState, IPPWorld
 from ipp_rl_tpu.ops.geometry import euclidean_distances, travel_costs
-from ipp_rl_tpu.ops.kalman import kf_sweep_gains
+from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
 from ipp_rl_tpu.ops.rewards import adaptive_mask, reward_from_gain
 
 
@@ -53,8 +53,8 @@ def sweep_rewards(world: IPPWorld, state: BeliefState, jitter: float = 0.0):
                 cfg.scenario.value_threshold,
                 cfg.scenario.interval_factor,
             )
-        gains = kf_sweep_gains(
-            cov, world.H, world.R_diag, mask, jitter,
+        gains = kf_sweep_gains_structured(
+            cov, world.sweep_groups, world.sweep_perm, mask, jitter,
             fast_math=getattr(world, "fast_sweeps", False),
         )
         costs = action_costs_from(world, pos)

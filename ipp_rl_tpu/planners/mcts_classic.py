@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ipp_rl_tpu.config.schema import MissionConfig
 from ipp_rl_tpu.env.world import BeliefState, IPPWorld
 from ipp_rl_tpu.ops.geometry import travel_costs
-from ipp_rl_tpu.ops.kalman import kf_sweep_gains
+from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
 from ipp_rl_tpu.ops.rewards import adaptive_mask
 from ipp_rl_tpu.planners.base import Planner
 
@@ -89,7 +89,9 @@ class ClassicMCTSPlanner(Planner):
     def _sweep_rewards(self, P, pos, mean):
         """Reward of every action against covariance P from position pos."""
         w = self.world
-        gains = kf_sweep_gains(P, w.H, w.R_diag, self._diag_mask(mean, P))
+        gains = kf_sweep_gains_structured(
+            P, w.sweep_groups, w.sweep_perm, self._diag_mask(mean, P)
+        )
         costs = travel_costs(w.actions_xyz, pos[None, :], self.cfg.uav.max_v, self.cfg.uav.max_a)
         return gains / (costs + 1.0), costs
 

@@ -202,3 +202,71 @@ def test_fast_math_decision_agreement():
             P, jnp.zeros(100, jnp.float32), H[a], R[a], z=None
         )
     assert agree >= trials - 1, f"argmax agreement {agree}/{trials}"
+
+
+def test_structured_sweep_matches_dense():
+    """kf_sweep_gains_structured (gather rf==1 blocks from P/Q +
+    group-locally padded dense rf>1 path) must match the dense sweep,
+    with and without an adaptive mask, and agree on the argmax under
+    fast_math."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
+    from ipp_rl_tpu.ops.priors import gp_prior_cov
+
+    cfg = config_from_dict(
+        {"environment": {"x_dim": 10, "y_dim": 10, "resolution": 4}}
+    )
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    # the canonical lattice must actually exercise both paths
+    assert any(g["cells"] is not None for g in world.sweep_groups)
+    assert any(g["H"] is not None for g in world.sweep_groups)
+    H = jnp.asarray(world.table.H, jnp.float32)
+    R = jnp.asarray(world.table.R_diag, jnp.float32)
+    P = jnp.asarray(np.asarray(gp_prior_cov(cfg)), jnp.float32)
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray((rng.random(100) > 0.4).astype(np.float32))
+    for t in range(8):
+        for m in (None, mask):
+            dense = np.asarray(kf_sweep_gains(P, H, R, m))
+            struct = np.asarray(
+                kf_sweep_gains_structured(
+                    P, world.sweep_groups, world.sweep_perm, m
+                )
+            )
+            np.testing.assert_allclose(struct, dense, rtol=2e-4, atol=1e-6)
+        fast = np.asarray(
+            kf_sweep_gains_structured(
+                P, world.sweep_groups, world.sweep_perm, fast_math=True
+            )
+        )
+        dense = np.asarray(kf_sweep_gains(P, H, R))
+        assert np.argmax(fast) == np.argmax(dense)
+        a = int(rng.integers(0, world.num_actions))
+        _, P = kf_update(P, jnp.zeros(100, jnp.float32), H[a], R[a], z=None)
+
+
+def test_structured_sweep_vmaps_over_batch():
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
+    from ipp_rl_tpu.ops.priors import gp_prior_cov
+
+    cfg = config_from_dict(
+        {"environment": {"x_dim": 10, "y_dim": 10, "resolution": 4}}
+    )
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    P0 = jnp.asarray(np.asarray(gp_prior_cov(cfg)), jnp.float32)
+    Ps = jnp.stack([P0, P0 * 0.5, P0 * 2.0])
+    batched = jax.vmap(
+        lambda p: kf_sweep_gains_structured(
+            p, world.sweep_groups, world.sweep_perm
+        )
+    )(Ps)
+    for b in range(3):
+        single = kf_sweep_gains_structured(
+            Ps[b], world.sweep_groups, world.sweep_perm
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[b]), np.asarray(single), rtol=1e-5
+        )

@@ -145,7 +145,7 @@ def bench_zero(args):
     world = IPPWorld(cfg, fast_sweeps=True)
     hp = cfg.missions[0].hyper_params
     B = min(args.batch, 256)  # search trees are memory-heavy
-    net, state = init_train_state(cfg, hp, jax.random.key(0), total_steps=10)
+    net, state = init_train_state(cfg, hp, jax.random.key(0))
     mcts = ZeroMCTS(world, hp, cfg.missions[0].episode_horizon, predict_fn(net))
 
     st = world.init_state(jax.random.key(1), B)

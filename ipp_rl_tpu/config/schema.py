@@ -185,8 +185,17 @@ class MCTSZeroHyperParams:
     shared_network: bool = True
     dropout: float = 0.0
     max_grad_norm: float = 10.0
+    # reference-vestigial: required by the reference schema
+    # (constants.py:180-181) and present in its example.yaml:91-92,
+    # but never read by the reference training code (the OneCycle
+    # schedule is the only LR policy) — accepted here for YAML parity.
     lr_step_size: int = 10000
     lr_decay: float = 0.9
+    # True (reference behavior): fresh SGD + OneCycle per self-play
+    # iteration with steps = num_epochs × num_batches (reference
+    # wrappers :51-69).  False: one global OneCycle across all
+    # iterations with persistent momentum (round-1 legacy mode).
+    per_iteration_lr_schedule: bool = True
     policy_loss_coeff: float = 1.0
     value_loss_coeff: float = 1.0
     reward_loss_coeff: float = 1.0
@@ -230,15 +239,21 @@ class MissionConfig:
     episode_horizon: int = 1
     num_waypoints: int = 100
     step_size: float = 5.0  # lawnmower sweep spacing
-    # classic MCTS knobs (reference planning/mcts_mission.py)
+    # classic MCTS knobs (reference planning/mcts_mission.py:85-98;
+    # YAML key list in reference constants.py:119-131 — the aliases
+    # ``c`` / ``max_greedy_radius`` / ``epsilon`` are accepted at load)
     num_simulations: int = 100
+    gamma: float = 0.95  # rollout discount (reference mcts_mission.py:89)
     alpha: float = 0.5  # progressive-widening exponent
     k: float = 1.0  # progressive-widening factor
-    epsilon: float = 0.2  # ε-greedy expansion/rollout
-    horizontal_spacing: float = 10.0
-    uct_c: float = 1.41
-    gcb_beta: float = 1.0
+    epsilon_expand: float = 0.2  # ε-greedy expansion (reference :94)
+    epsilon_rollout: float = 0.5  # ε-greedy rollout (reference :95)
+    horizontal_spacing: float = 10.0  # aka max_greedy_radius
+    uct_c: float = 1.41  # aka c
     use_gcb_rollout: bool = False
+    # root-parallel search width (reference mcts_mission.py:312-389
+    # merge_roots; W vmapped trees whose root stats are visit/value
+    # summed — the reference's ProcessPoolExecutor becomes a vmap axis)
     num_mcts_workers: int = 1
     # CMA-ES knobs (reference planning/ipp_masha.py)
     cma_popsize: int = 12
@@ -246,8 +261,12 @@ class MissionConfig:
     cma_sigma: float = 1.0
     # mcts_zero
     model_deployment_filename: str = "trained_model.ckpt"
+    # resume: iteration whose persisted self-play data to restart from
+    # (reference mcts_zero_mission.py:107-108,158-160,304,525-531)
     train_examples_iter: int = 0
     restart_training: bool = False
+    # notification sink on experiment/training events (reference
+    # notifications.py:9-61; here a pluggable JSONL sink — zero egress)
     telegram_notifications: bool = False
     hyper_params: MCTSZeroHyperParams = field(default_factory=MCTSZeroHyperParams)
 
@@ -333,8 +352,17 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     uav = UAVConfig(**_filter_fields(UAVConfig, exp.get("uav", {})))
 
     missions: List[MissionConfig] = []
+    # reference YAML key aliases (reference constants.py:119-131)
+    _MISSION_ALIASES = {
+        "c": "uct_c",
+        "max_greedy_radius": "horizontal_spacing",
+        "epsilon": "epsilon_expand",
+        "cmaes_max_iter": "cma_maxiter",
+        "cmaes_population_size": "cma_popsize",
+        "cmaes_sigma0": "cma_sigma",
+    }
     for m in exp.get("missions", [{"type": "greedy"}]):
-        m = dict(m)
+        m = {_MISSION_ALIASES.get(k, k): v for k, v in dict(m).items()}
         _require(m, ["type"], "missions[]")
         hp_raw = m.pop("hyper_params", None)
         hp = (

@@ -72,7 +72,7 @@ def create_planner(
         hp = mission_cfg.hyper_params
         if hp.shared_network:
             net, state = init_train_state(
-                world.cfg, hp, jax.random.key(0), total_steps=100, dtype=world.dtype
+                world.cfg, hp, jax.random.key(0), dtype=world.dtype
             )
             pred = predict_fn(net)
         else:
@@ -82,7 +82,7 @@ def create_planner(
             )
 
             net, state = init_split_train_state(
-                world.cfg, hp, jax.random.key(0), total_steps=100, dtype=world.dtype
+                world.cfg, hp, jax.random.key(0), dtype=world.dtype
             )
             pred = split_predict_fn(net)
         ckpt = os.path.join(
@@ -100,6 +100,39 @@ def create_planner(
             state = learner.state
         return ZeroPlanner(world, mission_cfg, pred, state.variables())
     raise ValueError(f"Unknown mission type '{t}'")
+
+
+def measure_replan_latency(
+    planner: Planner, init_state, key, repeats: int = 3
+) -> float:
+    """Compiled per-replan-step wall latency [s] after warmup.
+
+    Feeds ``think_time_per_step`` when evaluation.use_effective_mission_time
+    is set: the reference measures each step's planning time with
+    time.time() and subtracts it from the budget (reference
+    planning/greedy_mission.py:105-106, missions.py:199-201); here the
+    compiled per-step latency is constant, so it is measured once."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    world = planner.world
+
+    @jax.jit
+    def one(st, k):
+        k1, k2 = jax.random.split(k)
+        a = planner.plan(st, k1, jnp.int32(0))
+        return world.step_index(st, a, k2)
+
+    st = one(init_state, key)
+    jax.block_until_ready(st)
+    times = []
+    for r in range(repeats):
+        t0 = _time.perf_counter()
+        st = one(init_state, jax.random.fold_in(key, r))
+        jax.block_until_ready(st)
+        times.append(_time.perf_counter() - t0)
+    return min(times)
 
 
 class Experiment:
@@ -133,9 +166,16 @@ class Experiment:
             name = f"{mission_cfg.type}_{mission_cfg.config_name}"
             planner = create_planner(self.world, mission_cfg, self.checkpoints_dir)
             logger.info("running mission %s (B=%d)", name, B)
+            think = 0.0
+            if self.cfg.evaluation.use_effective_mission_time:
+                think = measure_replan_latency(
+                    planner, init_state, jax.random.key(self.seed + 101)
+                )
+                logger.info("%s: effective mission time, %.4f s/replan", name, think)
             t0 = time.time()
             res = planner.run(
-                k_run, B, max_steps=max_steps, init_state=init_state
+                k_run, B, max_steps=max_steps, init_state=init_state,
+                think_time_per_step=think,
             )
             self.run_times[name] = time.time() - t0
             self.results[name] = res

@@ -254,10 +254,17 @@ class CMAESPlanner(Planner):
         batch_size: int,
         max_steps: Optional[int] = None,
         init_state: Optional[BeliefState] = None,
+        think_time_per_step: float = 0.0,
     ) -> MissionResult:
         """Adaptive replanning loop: refine a horizon, execute the first
         waypoint, repeat (reference :221-251 adaptive branch)."""
         world, cfg = self.world, self.cfg
+        # effective mission time (reference greedy_mission.py:105-106)
+        think = (
+            think_time_per_step
+            if cfg.evaluation.use_effective_mission_time
+            else 0.0
+        )
         T = max_steps if max_steps is not None else self.max_steps()
         k_init, k_run = jax.random.split(key)
         state0 = (
@@ -276,6 +283,10 @@ class CMAESPlanner(Planner):
             can_move = state.active & any_valid & (cost <= state.budget) & (cost > 0)
             state = state.replace(active=can_move)
             state = world.step_position(state, wp, k_meas)
+            if think:
+                state = state.replace(
+                    budget=jnp.where(can_move, state.budget - think, state.budget)
+                )
             metrics = world.evaluate(state)
             out_wp = jnp.where(can_move[:, None], wp, jnp.nan)
             return (state, t + 1), (metrics, out_wp, state.budget, can_move, cost)

@@ -11,8 +11,10 @@ Behaviors reproduced:
     ∞ for unvisited children, −∞ for unaffordable ones (:42-75),
   * reward accumulation WITHOUT discount at interior edges — γ only
     inside rollouts (reference :298 vs :190,:226 — reference quirk kept),
-  * root-parallel merging = summed visit/value stats (:320-338), which
-    here is simply more simulations on one tree or a vmapped tree axis.
+  * root-parallel search: ``num_mcts_workers`` independent trees as a
+    vmapped axis, each running num_simulations/num_workers sims, root
+    stats merged by summed per-action visit/value (:312-389
+    run_simulations_proxy / merge_roots / select_best_child).
 
 TPU design: array tree vmapped over missions, rank-M edge factors for
 covariance reconstruction (same trick as the zero search), the ε-greedy
@@ -56,14 +58,17 @@ class ClassicMCTSPlanner(Planner):
     def __init__(self, world: IPPWorld, mission_cfg: MissionConfig):
         super().__init__(world, mission_cfg)
         mc = mission_cfg
-        self.num_simulations = mc.num_simulations
-        self.gamma = 0.95
+        self.num_workers = max(1, mc.num_mcts_workers)
+        # reference replan: num_simulations / num_workers sims per root
+        # (reference mcts_mission.py:361-362)
+        self.num_simulations = max(1, mc.num_simulations // self.num_workers)
+        self.gamma = mc.gamma  # reference mcts_mission.py:89,149
         self.c = mc.uct_c
         self.horizon = max(mc.episode_horizon, 2)
         self.k = mc.k
         self.alpha = mc.alpha
-        self.eps_expand = mc.epsilon
-        self.eps_rollout = 0.5
+        self.eps_expand = mc.epsilon_expand  # reference :94,154
+        self.eps_rollout = mc.epsilon_rollout  # reference :95,155
         self.max_greedy_radius = mc.horizontal_spacing  # distance cap [m]
         self.use_gcb = mc.use_gcb_rollout
         self.max_children = min(world.num_actions, self.num_simulations + 1)
@@ -357,7 +362,13 @@ class ClassicMCTSPlanner(Planner):
         m = self.world.H.shape[1]
         C = self.num_simulations + 2
 
-        def one(P, pos, budget, mean, k):
+        A = self.world.num_actions
+
+        def worker(P, pos, budget, mean, kw):
+            """One root-parallel worker: an independent tree whose root
+            stats are returned as per-action (visit, value-sum) arrays
+            ready for the summed merge (reference merge_roots,
+            mcts_mission.py:320-338)."""
             tree = CTree(
                 parent=jnp.full((C,), NO_NODE),
                 action_in=jnp.full((C,), NO_NODE),
@@ -373,17 +384,30 @@ class ClassicMCTSPlanner(Planner):
             def sim(tree, kk):
                 return self._simulate_one(tree, P, pos, mean, kk), None
 
-            keys = jax.random.split(k, self.num_simulations)
+            keys = jax.random.split(kw, self.num_simulations)
             tree, _ = jax.lax.scan(sim, tree, keys)
 
-            # best child by mean value (reference :340-350)
             slots = jnp.arange(self.max_children)
             cids = tree.children[0]
             exists = slots < tree.num_children[0]
-            cvis = jnp.maximum(tree.visits[jnp.maximum(cids, 0)], 1e-30)
-            cval = tree.value_sum[jnp.maximum(cids, 0)] / cvis
-            best = jnp.argmax(jnp.where(exists, cval, -jnp.inf))
-            return jnp.maximum(tree.action_in[jnp.maximum(cids[best], 0)], 0)
+            acts = jnp.maximum(tree.action_in[jnp.maximum(cids, 0)], 0)
+            vis = jnp.where(exists, tree.visits[jnp.maximum(cids, 0)], 0.0)
+            val = jnp.where(exists, tree.value_sum[jnp.maximum(cids, 0)], 0.0)
+            vis_a = jnp.zeros((A,), dt).at[acts].add(vis)
+            val_a = jnp.zeros((A,), dt).at[acts].add(val)
+            return vis_a, val_a
+
+        def one(P, pos, budget, mean, k):
+            # W vmapped trees replace the reference's process pool; the
+            # merged root's best child is argmax of merged mean value
+            # (reference :340-350 select_best_child over merged children)
+            vis_a, val_a = jax.vmap(
+                lambda kw: worker(P, pos, budget, mean, kw)
+            )(jax.random.split(k, self.num_workers))
+            vis = jnp.sum(vis_a, axis=0)
+            val = jnp.sum(val_a, axis=0)
+            mean_val = val / jnp.maximum(vis, 1e-30)
+            return jnp.argmax(jnp.where(vis > 0, mean_val, -jnp.inf))
 
         keys = jax.random.split(key, B)
         return jax.vmap(one)(state.cov, state.pos, state.budget, state.mean, keys).astype(

@@ -72,9 +72,18 @@ class WaypointListPlanner(Planner):
         batch_size: int,
         max_steps: Optional[int] = None,
         init_state: Optional[BeliefState] = None,
+        think_time_per_step: float = 0.0,
     ) -> MissionResult:
         world = self.world
         cfg = self.cfg
+        # effective mission time: charge the measured planning latency to
+        # the budget (reference greedy_mission.py:105-106; near-zero for
+        # static paths but kept for a uniform Experiment surface)
+        think = (
+            think_time_per_step
+            if cfg.evaluation.use_effective_mission_time
+            else 0.0
+        )
         k_init, k_wp, k_run = jax.random.split(key, 3)
         state0 = (
             init_state
@@ -95,6 +104,10 @@ class WaypointListPlanner(Planner):
             can_move = state.active & (state.budget > cost)
             state = state.replace(active=can_move)
             state = world.step_position(state, wp, k)
+            if think:
+                state = state.replace(
+                    budget=jnp.where(can_move, state.budget - think, state.budget)
+                )
             metrics = world.evaluate(state)
             out_wp = jnp.where(can_move[:, None], wp, jnp.nan)
             return (state, t + 1), (metrics, out_wp, state.budget, can_move, cost)

@@ -38,12 +38,14 @@ from ipp_rl_tpu.env.world import IPPWorld
 from ipp_rl_tpu.planners.zero.arena import Arena
 from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
 from ipp_rl_tpu.planners.zero.replay import PrioritizedReplayBuffer, ReplayBuffer
-from ipp_rl_tpu.planners.zero.selfplay import SelfPlay
+from ipp_rl_tpu.planners.zero.selfplay import SelfPlay, Trajectory
 from ipp_rl_tpu.planners.zero.train import (
     ZeroTrainState,
     init_train_state,
     make_train_step,
+    onecycle_lr,
     predict_fn,
+    reset_optimizer,
 )
 
 logger = logging.getLogger(__name__)
@@ -90,6 +92,7 @@ class ZeroLearner:
         num_envs: Optional[int] = None,
         seed: int = 42,
         use_tensorboard: bool = False,
+        train_data_dir: Optional[str] = None,
     ):
         self.world = world
         self.cfg: Config = world.cfg
@@ -97,8 +100,15 @@ class ZeroLearner:
         self.hp: MCTSZeroHyperParams = mission_cfg.hyper_params
         self.checkpoints_dir = checkpoints_dir
         self.log_dir = log_dir
+        # persisted self-play data for kill-and-resume (the reference's
+        # TRAIN_DATA_DIR/iter_k directories of bz2 pickles, reference
+        # mcts_zero_mission.py:309-311,364-368); one npz per iteration here
+        self.train_data_dir = train_data_dir or os.environ.get(
+            "TRAIN_DATA_DIR", os.path.join(checkpoints_dir, "train_data")
+        )
         os.makedirs(checkpoints_dir, exist_ok=True)
         os.makedirs(log_dir, exist_ok=True)
+        os.makedirs(self.train_data_dir, exist_ok=True)
         self._metrics_file = os.path.join(log_dir, "train_metrics.jsonl")
         # optional TensorBoard surface (reference wrappers :177-195);
         # JSONL remains the primary metrics stream
@@ -119,15 +129,16 @@ class ZeroLearner:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.key(seed)
 
-        total_train_steps = (
-            hp.num_self_play_iterations * hp.num_epochs * 64
-        )  # approximate horizon for the LR schedule
+        # legacy global-OneCycle horizon (hp.per_iteration_lr_schedule=False);
+        # the reference recipe computes a fresh per-iteration horizon in
+        # train_iteration instead (reference wrappers :51-69)
+        self._global_step = 0
+        self._global_total = hp.num_self_play_iterations * hp.num_epochs * 64
         if hp.shared_network:
             self.net, self.state = init_train_state(
-                self.cfg, hp, self._next_key(), total_steps=total_train_steps,
-                dtype=world.dtype,
+                self.cfg, hp, self._next_key(), dtype=world.dtype
             )
-            self.train_step = make_train_step(self.net, hp, total_train_steps)
+            self.train_step = make_train_step(self.net, hp)
             self.predict = predict_fn(self.net)  # (variables, planes, mask)
         else:
             # split policy/value networks (reference network_wrappers/
@@ -139,10 +150,9 @@ class ZeroLearner:
             )
 
             self.net, self.state = init_split_train_state(
-                self.cfg, hp, self._next_key(), total_steps=total_train_steps,
-                dtype=world.dtype,
+                self.cfg, hp, self._next_key(), dtype=world.dtype
             )
-            self.train_step = make_split_train_step(self.net, hp, total_train_steps)
+            self.train_step = make_split_train_step(self.net, hp)
             self.predict = split_predict_fn(self.net)
         self.mcts = ZeroMCTS(
             world, hp, mission_cfg.episode_horizon, self.predict
@@ -160,6 +170,14 @@ class ZeroLearner:
         self.puct_init = hp.puct_init
         self.dirichlet_alpha = hp.dirichlet_alpha
         self.prev_network_wins = 0
+
+        # per-iteration notification stream (reference mission :398-415
+        # telegram_notifier.finished_iteration; JSONL sink here)
+        self.notifier = None
+        if mission_cfg.telegram_notifications:
+            from ipp_rl_tpu.utils.notifications import Notifier
+
+            self.notifier = Notifier("mcts_zero.learn", out_dir=log_dir)
 
     # ------------------------------------------------------------- helpers
 
@@ -200,6 +218,86 @@ class ZeroLearner:
             hp.max_train_examples_history,
         )
 
+    # --------------------------------------------- train-data persistence
+
+    def _iter_path(self, iteration: int) -> str:
+        return os.path.join(self.train_data_dir, f"iter_{iteration}.npz")
+
+    def save_train_examples(self, iteration: int, traj: Trajectory):
+        """Persist one self-play iteration (reference writes per-sample
+        bz2 pickles under TRAIN_DATA_DIR/iter_k, mission :309-311,346-352;
+        one compressed npz of the whole trajectory here)."""
+        arrays = {f: np.asarray(getattr(traj, f)) for f in Trajectory._fields}
+        tmp = self._iter_path(iteration) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, self._iter_path(iteration))
+
+    def load_train_examples(self, iteration: int) -> Optional[Trajectory]:
+        path = self._iter_path(iteration)
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            return Trajectory(**{f: z[f] for f in Trajectory._fields})
+
+    def prune_train_examples(self, window_start: int):
+        """Sliding-window deletion of outdated iteration files
+        (reference mission :364-368)."""
+        for name in os.listdir(self.train_data_dir):
+            if name.startswith("iter_") and name.endswith(".npz"):
+                try:
+                    it = int(name[len("iter_"):-len(".npz")])
+                except ValueError:
+                    continue
+                if it < window_start:
+                    os.remove(os.path.join(self.train_data_dir, name))
+
+    def check_for_train_examples(self) -> bool:
+        """True if persisted data exists for mc.train_examples_iter
+        (reference :525-531 — sets skip_first_self_play)."""
+        found = os.path.exists(self._iter_path(self.mc.train_examples_iter))
+        if found:
+            logger.info(
+                "found train examples for iteration %d", self.mc.train_examples_iter
+            )
+        else:
+            logger.error(
+                "train examples '%s' not found!",
+                self._iter_path(self.mc.train_examples_iter),
+            )
+        return found
+
+    def _resume(self) -> tuple[int, bool]:
+        """Resume an interrupted run (reference execute :545-562 +
+        learn preamble :304): load the deployment checkpoint if present,
+        and if persisted self-play data exists for train_examples_iter,
+        start there with the first self-play skipped.  Returns
+        (start_iteration, skip_first_self_play)."""
+        dp = self.deployment_path()
+        if os.path.exists(dp):
+            self.state = load_checkpoint(dp, self.state)
+            logger.info("restart: loaded deployment checkpoint %s", dp)
+        if not self.check_for_train_examples():
+            return 0, False
+        start = self.mc.train_examples_iter
+        # fast-forward the exploration decay to where iteration `start`
+        # would find it (deviation: the reference restarts the decay from
+        # its initial values on resume — ref :231-243 mutate hyper_params
+        # in-process only; decaying through the skipped iterations keeps
+        # the schedule consistent with an uninterrupted run)
+        for it in range(1, start):
+            self.schedule_exploration(it)
+        # reload the replay window from disk
+        window = self.window_size(start)
+        for it in range(max(0, start - window + 1), start + 1):
+            traj = self.load_train_examples(it)
+            if traj is not None:
+                self.replay.add_iteration(it, traj)
+        logger.info(
+            "resuming at iteration %d with %d replay samples", start, len(self.replay)
+        )
+        return start, True
+
     # ---------------------------------------------------------------- learn
 
     def learn(
@@ -212,21 +310,30 @@ class ZeroLearner:
         workload for tests/smoke runs."""
         hp = self.hp
         iters = num_iterations or hp.num_self_play_iterations
-        for iteration in range(iters):
+        start_iteration, skip_first_self_play = 0, False
+        if self.mc.restart_training:
+            start_iteration, skip_first_self_play = self._resume()
+        for iteration in range(start_iteration, iters):
             t0 = time.time()
             self.schedule_exploration(iteration)
             window = self.window_size(iteration)
             self.replay.set_window(iteration, window)
+            self.prune_train_examples(max(0, iteration - window + 1))
 
-            traj, episode_values = self._selfplay_run(
-                self._next_key(),
-                self.num_envs,
-                net_variables=self.state.variables(),
-                puct_init=self.puct_init,
-                dirichlet_alpha=self.dirichlet_alpha,
-            )
-            traj = jax.tree_util.tree_map(np.asarray, traj)
-            self.replay.add_iteration(iteration, traj)
+            if skip_first_self_play and iteration == start_iteration:
+                # reuse the persisted examples (reference :313)
+                episode_values = np.zeros((1,), np.float32)
+            else:
+                traj, episode_values = self._selfplay_run(
+                    self._next_key(),
+                    self.num_envs,
+                    net_variables=self.state.variables(),
+                    puct_init=self.puct_init,
+                    dirichlet_alpha=self.dirichlet_alpha,
+                )
+                traj = jax.tree_util.tree_map(np.asarray, traj)
+                self.replay.add_iteration(iteration, traj)
+                self.save_train_examples(iteration, traj)
             sp_time = time.time() - t0
 
             # rollback snapshot (reference :370-372)
@@ -267,28 +374,59 @@ class ZeroLearner:
                 "iter %d: %d samples, episode value %.3f, accepted=%s",
                 iteration, len(self.replay), float(np.mean(episode_values)), accepted,
             )
+            if self.notifier is not None:
+                # reference mission :398-415 per-iteration notification
+                self.notifier.finished_iteration(
+                    str(iteration),
+                    {
+                        "num_samples": len(self.replay),
+                        "accepted": accepted,
+                        "mean_episode_value": float(np.mean(episode_values)),
+                        "collected_new_episodes": not (
+                            skip_first_self_play and iteration == start_iteration
+                        ),
+                    },
+                )
+        if self.notifier is not None:
+            self.notifier.finished({"iterations": iters})
 
     def train_iteration(self, num_batches_cap: Optional[int] = None) -> Dict:
+        """Train num_epochs over the replay window with the reference
+        recipe: a FRESH SGD + three-phase OneCycle sized to this
+        iteration's actual ``num_epochs × num_batches`` steps (reference
+        wrappers :51-69).  hp.per_iteration_lr_schedule=False keeps the
+        round-1 global schedule + persistent momentum instead."""
         hp = self.hp
         num_batches = self.replay.num_batches(hp.batch_size)
         if num_batches_cap is not None:
             num_batches = min(num_batches, num_batches_cap)
         if isinstance(self.replay, PrioritizedReplayBuffer):
             self.replay.begin_training(hp.batch_size, hp.num_epochs)
+        total_steps = max(1, num_batches * hp.num_epochs)
+        if hp.per_iteration_lr_schedule:
+            self.state = reset_optimizer(hp, self.state)
         last = {}
+        step_in_iter = 0
         for epoch in range(hp.num_epochs):
             for _ in range(num_batches):
+                if hp.per_iteration_lr_schedule:
+                    lr = onecycle_lr(hp, step_in_iter, total_steps)
+                else:
+                    lr = onecycle_lr(hp, self._global_step, self._global_total)
                 batch, idx = self.replay.sample(
                     hp.batch_size, self.rng, self._next_key()
                 )
                 self.state, metrics, value_l = self.train_step(
-                    self.state, batch, self._next_key()
+                    self.state, batch, self._next_key(), lr
                 )
+                step_in_iter += 1
+                self._global_step += 1
                 self.replay.step()
                 if isinstance(self.replay, PrioritizedReplayBuffer):
                     per_sample = np.asarray(value_l)[: len(idx)] + 1e-8
                     self.replay.update(idx, per_sample)
                 last = {k: float(v) for k, v in metrics.items()}
+                last["lr"] = lr
         return last
 
     def arena_gate(self, prev_state: ZeroTrainState, arena_games=None) -> bool:

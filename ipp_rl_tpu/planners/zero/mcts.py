@@ -367,8 +367,12 @@ class ZeroMCTS:
         leaf_ok = leaf >= 0
         idx = jnp.maximum(leaf, 0)
 
-        p = policy * leaf_mask.astype(dt)
-        noise = jax.random.dirichlet(key, jnp.full((self.A,), dirichlet_alpha, dt))
+        # pin dtype: jax.random.dirichlet defaults to float64 under x64,
+        # which would poison the f32 tree arrays at the scatter below
+        p = policy.astype(dt) * leaf_mask.astype(dt)
+        noise = jax.random.dirichlet(
+            key, jnp.full((self.A,), dirichlet_alpha, dt), dtype=dt
+        )
         p_noised = (1.0 - hp.dirichlet_eps) * p + hp.dirichlet_eps * noise
         p = jnp.where(is_root_first & leaf_ok, p_noised * leaf_mask.astype(dt), p)
         s = jnp.sum(p)

@@ -93,11 +93,20 @@ class ReplayBuffer:
     # ----------------------------------------------------------- sampling
 
     def _gather(self, rows: np.ndarray) -> TrainBatch:
-        """Assemble a TrainBatch for index rows (iter, env, step)."""
+        """Assemble a TrainBatch for index rows (iter, env, step).
+
+        Vectorized history gather: the L-step belief history of sample
+        (e, t) is just rows ``t, t-1, …, t-L+1`` of the trajectory
+        (zeroed where t-k < 0), so one fancy-index per window iteration
+        replaces the former per-row/per-step Python copy loop and the
+        host-side sampling cost no longer starves the device at the
+        canonical workload (equivalence vs the naive loop is tested in
+        tests/test_zero_selfplay.py::test_gather_vectorization_exact)."""
         world, hp = self.world, self.hp
         L = hp.input_history_length
         n = world.cfg.environment.num_cells
         B = len(rows)
+        budget0 = np.float32(world.cfg.constraints.budget)
         covs = np.zeros((B, L, n, n), np.float32)
         poss = np.zeros((B, L, 3), np.float32)
         bfrs = np.zeros((B, L), np.float32)
@@ -107,20 +116,24 @@ class ReplayBuffer:
         vals = np.zeros((B,), np.float32)
         rews = np.zeros((B,), np.float32)
         msks = np.zeros((B, world.num_actions), np.float32)
-        for i, (it, e, t) in enumerate(rows):
+        ks = np.arange(L)
+        for it in np.unique(rows[:, 0]):
+            sel = np.nonzero(rows[:, 0] == it)[0]
+            e, t = rows[sel, 1], rows[sel, 2]
             traj = self._iters[int(it)]
-            hist_len = min(L, t + 1)
-            lens[i] = hist_len
-            budget0 = world.cfg.constraints.budget
-            for k in range(hist_len):
-                covs[i, k] = traj.cov[e, t - k]
-                poss[i, k] = traj.prev_pos[e, t - k]
-                bfrs[i, k] = traj.budget[e, t - k] / budget0
-            means[i] = traj.mean[e, t]
-            pols[i] = traj.policy[e, t]
-            vals[i] = traj.value[e, t]
-            rews[i] = traj.reward[e, t]
-            msks[i] = traj.valid_mask[e, t]
+            tk = t[:, None] - ks[None, :]  # (b, L) history step indices
+            valid = tk >= 0
+            tkc = np.maximum(tk, 0)
+            eL = e[:, None]
+            covs[sel] = traj.cov[eL, tkc] * valid[:, :, None, None]
+            poss[sel] = traj.prev_pos[eL, tkc] * valid[:, :, None]
+            bfrs[sel] = traj.budget[eL, tkc] / budget0 * valid
+            lens[sel] = np.minimum(L, t + 1)
+            means[sel] = traj.mean[e, t]
+            pols[sel] = traj.policy[e, t]
+            vals[sel] = traj.value[e, t]
+            rews[sel] = traj.reward[e, t]
+            msks[sel] = traj.valid_mask[e, t]
 
         planes = self._build_planes(
             jnp.asarray(covs), jnp.asarray(poss), jnp.asarray(bfrs),

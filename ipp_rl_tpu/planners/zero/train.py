@@ -56,24 +56,55 @@ class ZeroTrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def onecycle_schedule(hp: MCTSZeroHyperParams, total_steps: int):
-    """Three-phase linear OneCycle (reference wrappers :59-69)."""
-    return optax.linear_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
-        peak_value=hp.max_learning_rate,
-        pct_start=0.40,
-        pct_final=0.80,
-        div_factor=hp.max_learning_rate / hp.learning_rate,
-        final_div_factor=100.0,
-    )
+def onecycle_lr(
+    hp: MCTSZeroHyperParams, step: int, total_steps: int
+) -> float:
+    """LR at ``step`` of a torch-exact three-phase linear OneCycle.
+
+    Reproduces ``torch.optim.lr_scheduler.OneCycleLR(max_lr, epochs,
+    steps_per_epoch, div_factor=max_lr/lr, final_div_factor=100,
+    anneal_strategy="linear", three_phase=True, pct_start=0.40)`` — the
+    reference builds a FRESH one of these (and a fresh SGD) every
+    self-play iteration with ``total_steps = num_epochs × num_batches``
+    (reference network_wrappers/policy_value_network_wrappers.py:51-69).
+    Phase milestones use torch's ``pct·total−1`` / ``2·pct·total−2`` /
+    ``total−1`` endpoints so the emitted LR sequence is bit-identical to
+    torch's (tested against the torch oracle in tests/test_zero.py).
+
+    Pure host-side float math: the trained step consumes the LR as a
+    runtime scalar, so one compiled program serves every iteration even
+    though each iteration has a different schedule length.
+    """
+    initial_lr = hp.learning_rate  # max_lr / div_factor
+    max_lr = hp.max_learning_rate
+    min_lr = initial_lr / 100.0  # final_div_factor
+    pct = 0.40
+    total = max(total_steps, 1)
+    p1_end = pct * total - 1.0
+    p2_end = 2.0 * pct * total - 2.0
+    p3_end = total - 1.0
+    s = float(step)
+
+    def lerp(a, b, frac):
+        return a + (b - a) * frac
+
+    if s <= p1_end:
+        return lerp(initial_lr, max_lr, s / max(p1_end, 1e-12))
+    if s <= p2_end:
+        return lerp(max_lr, initial_lr, (s - p1_end) / max(p2_end - p1_end, 1e-12))
+    return lerp(initial_lr, min_lr, (s - p2_end) / max(p3_end - p2_end, 1e-12))
 
 
-def make_optimizer(hp: MCTSZeroHyperParams, total_steps: int):
+def make_optimizer(hp: MCTSZeroHyperParams):
+    """SGD(momentum, coupled weight decay) + global-norm clip, with the
+    LR applied OUTSIDE the chain (the train step scales by a runtime-lr
+    scalar).  Matches the reference order: clip grads, then SGD adds
+    wd·param, then the momentum buffer, then −lr·buf (reference
+    wrappers :51-56, :169-171)."""
     return optax.chain(
         optax.clip_by_global_norm(hp.max_grad_norm),
         optax.add_decayed_weights(hp.weight_decay),
         optax.trace(decay=hp.momentum, nesterov=False),
-        optax.scale_by_learning_rate(onecycle_schedule(hp, total_steps)),
     )
 
 
@@ -81,7 +112,6 @@ def init_train_state(
     cfg: Config,
     hp: MCTSZeroHyperParams,
     key: jax.Array,
-    total_steps: int,
     input_size: Optional[int] = None,
     dtype=jnp.float32,
 ) -> Tuple[PolicyValueNetwork, ZeroTrainState]:
@@ -91,13 +121,27 @@ def init_train_state(
     dummy_x = jnp.zeros((1, s, s, hp.input_channels), dtype)
     dummy_mask = jnp.ones((1, cfg.num_actions), dtype)
     variables = net.init(key, dummy_x, dummy_mask, train=False)
-    tx = make_optimizer(hp, total_steps)
+    tx = make_optimizer(hp)
     return net, ZeroTrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
         opt_state=tx.init(variables["params"]),
         step=jnp.int32(0),
     )
+
+
+def reset_optimizer(hp: MCTSZeroHyperParams, state):
+    """Fresh SGD state (zero momentum buffers, step 0) — the reference
+    constructs a brand-new ``torch.optim.SGD`` every ``train()`` call
+    (reference wrappers :51-56), so momentum does NOT carry across
+    self-play iterations.  Works on shared and split states."""
+    tx = make_optimizer(hp)
+    if isinstance(state, SplitTrainState):
+        return SplitTrainState(
+            policy=reset_optimizer(hp, state.policy),
+            value=reset_optimizer(hp, state.value),
+        )
+    return state.replace(opt_state=tx.init(state.params), step=jnp.int32(0))
 
 
 def loss_fn(
@@ -150,21 +194,29 @@ def loss_fn(
     return loss, (mutated["batch_stats"], metrics, value_l)
 
 
-def make_train_step(
-    net: PolicyValueNetwork, hp: MCTSZeroHyperParams, total_steps: int
-):
-    """Returns jitted (state, batch, rng) -> (state, metrics, per-sample
-    value losses for PER priority updates)."""
-    tx = make_optimizer(hp, total_steps)
+def make_train_step(net: PolicyValueNetwork, hp: MCTSZeroHyperParams):
+    """Returns jitted (state, batch, rng, lr) -> (state, metrics,
+    per-sample value losses for PER priority updates).
+
+    ``lr`` is a runtime scalar: the caller evaluates the OneCycle
+    schedule on host (``onecycle_lr``) so a single compiled program
+    serves every self-play iteration's fresh schedule."""
+    tx = make_optimizer(hp)
 
     @jax.jit
-    def train_step(state: ZeroTrainState, batch: TrainBatch, rng: jax.Array):
+    def train_step(
+        state: ZeroTrainState, batch: TrainBatch, rng: jax.Array, lr: jax.Array
+    ):
         grad_fn = jax.value_and_grad(
             lambda p: loss_fn(net, hp, p, state.batch_stats, batch, rng),
             has_aux=True,
         )
         (loss, (new_stats, metrics, value_l)), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        neg_lr = -jnp.asarray(lr)
+        updates = jax.tree_util.tree_map(
+            lambda u: (neg_lr * u).astype(u.dtype), updates
+        )
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = ZeroTrainState(
@@ -220,7 +272,6 @@ def init_split_train_state(
     cfg: Config,
     hp: MCTSZeroHyperParams,
     key: jax.Array,
-    total_steps: int,
     dtype=jnp.float32,
 ):
     """Initialize split policy/value networks + optimizers."""
@@ -230,7 +281,7 @@ def init_split_train_state(
     s = cfg.environment.num_cells
     dummy_x = jnp.zeros((1, s, s, hp.input_channels), dtype)
     dummy_mask = jnp.ones((1, cfg.num_actions), dtype)
-    tx = make_optimizer(hp, total_steps)
+    tx = make_optimizer(hp)
 
     p_net = PolicyNetwork(hp=hp, num_actions=cfg.num_actions)
     p_vars = p_net.init(kp, dummy_x, dummy_mask, train=False)
@@ -248,11 +299,12 @@ def init_split_train_state(
     return (p_net, v_net), SplitTrainState(policy=mk(p_vars), value=mk(v_vars))
 
 
-def make_split_train_step(nets, hp: MCTSZeroHyperParams, total_steps: int):
+def make_split_train_step(nets, hp: MCTSZeroHyperParams):
     """Joint step over both split networks; returns per-sample value
-    losses for PER (as the shared path does)."""
+    losses for PER (as the shared path does).  ``lr`` is a runtime
+    scalar as in ``make_train_step``."""
     p_net, v_net = nets
-    tx = make_optimizer(hp, total_steps)
+    tx = make_optimizer(hp)
 
     def policy_loss_fn(params, batch_stats, batch: TrainBatch, rng):
         log_policy, mutated = p_net.apply(
@@ -285,15 +337,21 @@ def make_split_train_step(nets, hp: MCTSZeroHyperParams, total_steps: int):
         return loss, (mutated["batch_stats"], vl)
 
     @jax.jit
-    def train_step(state: SplitTrainState, batch: TrainBatch, rng: jax.Array):
+    def train_step(
+        state: SplitTrainState, batch: TrainBatch, rng: jax.Array, lr: jax.Array
+    ):
         rp, rv = jax.random.split(rng)
+        neg_lr = -jnp.asarray(lr)
+        scale = lambda upd: jax.tree_util.tree_map(
+            lambda u: (neg_lr * u).astype(u.dtype), upd
+        )
         (pl_loss, (p_stats, pl, ent)), p_grads = jax.value_and_grad(
             lambda p: policy_loss_fn(p, state.policy.batch_stats, batch, rp),
             has_aux=True,
         )(state.policy.params)
         p_upd, p_opt = tx.update(p_grads, state.policy.opt_state, state.policy.params)
         new_policy = ZeroTrainState(
-            params=optax.apply_updates(state.policy.params, p_upd),
+            params=optax.apply_updates(state.policy.params, scale(p_upd)),
             batch_stats=p_stats,
             opt_state=p_opt,
             step=state.policy.step + 1,
@@ -304,7 +362,7 @@ def make_split_train_step(nets, hp: MCTSZeroHyperParams, total_steps: int):
         )(state.value.params)
         v_upd, v_opt = tx.update(v_grads, state.value.opt_state, state.value.params)
         new_value = ZeroTrainState(
-            params=optax.apply_updates(state.value.params, v_upd),
+            params=optax.apply_updates(state.value.params, scale(v_upd)),
             batch_stats=v_stats,
             opt_state=v_opt,
             step=state.value.step + 1,

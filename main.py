@@ -19,6 +19,12 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None) -> int:
+    # .env tier first: file values fill in unset process env vars
+    # (reference constants.py:7-23 + compose env_file semantics)
+    from ipp_rl_tpu.config.env import load_dotenv, log_env_variables
+
+    load_dotenv(os.path.join(os.path.dirname(__file__), ".env"))
+
     ap = argparse.ArgumentParser()
     default_cfg = os.environ.get(
         "CONFIG_FILE_PATH",
@@ -34,6 +40,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     setup_logger(args.logs)
+    log_env_variables(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(args.config)
     notifier = Notifier(cfg.title, out_dir=args.logs)
     notifier.started({"config": args.config})

@@ -59,14 +59,19 @@ def main():
 
     def sweep_body(st, k):
         r, c = sweep_rewards(world, st)
-        # tiny-coefficient carry so nothing is DCE'd / constant-folded
-        eps = jnp.asarray(1e-30, st.budget.dtype)
-        return st.replace(budget=st.budget + eps * (r.sum(-1) + c.sum(-1)))
+        # feed the result back into cov (which sweep_rewards READS) so
+        # the sweep is genuinely loop-carried — a budget-only carry lets
+        # XLA hoist the whole cov-dependent sweep out of the scan and
+        # report up-to-K-times-too-fast step times (profile_sweep.py's
+        # bench() mutates P for the same reason)
+        eps = jnp.asarray(1e-20, st.cov.dtype)
+        bump = (r.sum(-1) + c.sum(-1)).astype(st.cov.dtype)
+        return st.replace(cov=st.cov + eps * bump[:, None, None])
 
     def plan_body(st, k):
         a = planner.plan(st, k, jnp.int32(0))
-        eps = jnp.asarray(1e-30, st.budget.dtype)
-        return st.replace(budget=st.budget + eps * a.astype(st.budget.dtype))
+        eps = jnp.asarray(1e-20, st.cov.dtype)
+        return st.replace(cov=st.cov + eps * a.astype(st.cov.dtype)[:, None, None])
 
     def commit_body(st, k):
         a = jax.random.randint(k, (B,), 0, world.num_actions)

@@ -32,8 +32,13 @@ def main():
     B, K = args.batch, args.steps
     N = cfg.environment.num_cells
     groups = world.sweep_groups
-    g1 = next(g for g in groups if g["cells"] is not None)  # rf==1 gather group
+    g1 = next((g for g in groups if g["cells"] is not None), None)  # rf==1 gather group
     gd = [g for g in groups if g["cells"] is None]  # dense groups
+    if g1 is None:
+        raise SystemExit(
+            "config has no rf==1 gather group — the rf1_* / spd_inverse "
+            "benches need one (use the canonical example.yaml)"
+        )
 
     state0 = world.init_state(jax.random.key(0), B)
     P0 = state0.cov  # (B, N, N)
@@ -43,8 +48,10 @@ def main():
 
         def body(P, _):
             out = jax.vmap(per_mission)(P)  # (B,)
-            # loop-carried mutation so nothing hoists
-            P = P * (1.0 + 1e-12) + 1e-20 * out[:, None, None]
+            # the 1e-20-scaled result is loop-carried through P, so the
+            # P-dependent work cannot be hoisted out of the scan (the
+            # perturbation itself underflows to a no-op numerically)
+            P = P + 1e-20 * out[:, None, None]
             return P, None
 
         def block(P):
@@ -103,6 +110,9 @@ def main():
             kf_sweep_gains_structured(P, gd, perm, fast_math=True)
         )
 
+    if not gd:
+        v_dense = None  # no rf>1 dense groups in this config
+
     def v_sweep(P):
         from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
 
@@ -117,7 +127,8 @@ def main():
     bench("rf1_gather", v_rf1_gather)
     bench("spd_inverse", v_spdinv)
     bench("rf1_full", v_rf1_full)
-    bench("dense_rf2", v_dense)
+    if v_dense is not None:
+        bench("dense_rf2", v_dense)
     bench("sweep_all", v_sweep)
 
 

@@ -80,3 +80,41 @@ def test_interpolated_curves(experiment_cfg, tmp_path):
         assert np.all(np.diff(c["axis"]) >= 0)
         # uncertainty decreases along flight time for every planner
         assert c["mean"][-1] < c["mean"][0]
+
+
+def test_effective_mission_time_shrinks_budget(experiment_cfg, tmp_path, monkeypatch):
+    """With evaluation.use_effective_mission_time, the measured per-replan
+    latency is charged against the budget each step (reference
+    planning/greedy_mission.py:105-106) — missions take fewer steps."""
+    import dataclasses
+
+    import ipp_rl_tpu.experiments.experiment as expmod
+
+    cfg = dataclasses.replace(
+        experiment_cfg,
+        missions=(experiment_cfg.missions[0],),  # greedy only
+        evaluation=dataclasses.replace(
+            experiment_cfg.evaluation, use_effective_mission_time=True
+        ),
+    )
+    # pretend planning costs 3 budget-seconds per replan
+    monkeypatch.setattr(expmod, "measure_replan_latency", lambda *a, **k: 3.0)
+    exp = Experiment(cfg, results_dir=str(tmp_path), seed=3)
+    res = exp.run(max_steps=8)["greedy_standard"]
+
+    cfg_off = dataclasses.replace(
+        cfg,
+        evaluation=dataclasses.replace(cfg.evaluation, use_effective_mission_time=False),
+    )
+    exp_off = Experiment(cfg_off, results_dir=str(tmp_path), seed=3)
+    res_off = exp_off.run(max_steps=8)["greedy_standard"]
+
+    # same seeds → same worlds; the charged think time consumes budget
+    assert res.num_steps.sum() < res_off.num_steps.sum() or (
+        res.budgets[:, -1].mean() < res_off.budgets[:, -1].mean()
+    )
+    # the extra consumption equals ~3 s per executed step
+    spent = res.budgets[:, 0] - res.budgets[:, -1]
+    spent_off = res_off.budgets[:, 0] - res_off.budgets[:, -1]
+    flight = res.flight_times.sum(axis=1)
+    np.testing.assert_allclose(spent, flight + 3.0 * res.num_steps, rtol=1e-5)

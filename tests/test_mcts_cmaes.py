@@ -79,3 +79,66 @@ def test_cmaes_mission(world):
     assert np.all(wps[..., 2][ok] <= con.max_altitude + 1e-5)
     assert np.all(wps[..., 0][ok] >= -1e-5)
     assert np.all(wps[..., 0][ok] <= env.extent_x + 1e-5)
+
+
+def test_classic_mcts_root_parallel(world):
+    """num_mcts_workers=W runs W vmapped trees with num_simulations/W
+    sims each and merges root stats by summed per-action visit/value
+    (reference mcts_mission.py:312-389).  The merged planner must be a
+    working planner (reduces uncertainty) and split the sim budget."""
+    mc = MissionConfig(
+        type="mcts", num_simulations=16, episode_horizon=3,
+        horizontal_spacing=12.0, num_mcts_workers=4,
+    )
+    p = ClassicMCTSPlanner(world, mc)
+    assert p.num_workers == 4
+    assert p.num_simulations == 4  # 16 // 4 per worker
+    res = p.run(jax.random.key(3), batch_size=2, max_steps=5)
+    assert np.all(res.num_steps >= 1)
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()
+
+
+def test_classic_mcts_config_knobs(world):
+    """gamma / epsilon_expand / epsilon_rollout come from config
+    (reference mcts_mission.py:89,94-95) — no hardcoded constants."""
+    mc = MissionConfig(
+        type="mcts", num_simulations=8, episode_horizon=3,
+        gamma=0.5, epsilon_expand=0.1, epsilon_rollout=0.9,
+    )
+    p = ClassicMCTSPlanner(world, mc)
+    assert (p.gamma, p.eps_expand, p.eps_rollout) == (0.5, 0.1, 0.9)
+
+
+def test_mission_config_reference_aliases():
+    """The reference YAML key spellings (constants.py:119-137) load into
+    the schema fields."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+
+    cfg = config_from_dict(
+        {
+            "environment": {"x_dim": 4, "y_dim": 4, "resolution": 4},
+            "experiment": {
+                "missions": [
+                    {
+                        "type": "mcts",
+                        "c": 2.0,
+                        "max_greedy_radius": 9.0,
+                        "epsilon": 0.3,
+                        "gamma": 0.8,
+                        "epsilon_rollout": 0.6,
+                    },
+                    {
+                        "type": "cmaes",
+                        "cmaes_max_iter": 11,
+                        "cmaes_population_size": 7,
+                        "cmaes_sigma0": 2.5,
+                    },
+                ]
+            },
+        }
+    )
+    m, c = cfg.missions
+    assert (m.uct_c, m.horizontal_spacing, m.epsilon_expand) == (2.0, 9.0, 0.3)
+    assert (m.gamma, m.epsilon_rollout) == (0.8, 0.6)
+    assert (c.cma_maxiter, c.cma_popsize, c.cma_sigma) == (11, 7, 2.5)

@@ -240,7 +240,7 @@ def test_network_forward_and_train_step(small_cfg):
         num_global_pooling_channels=4,
     )
     net, state = init_train_state(
-        small_cfg, hp, jax.random.key(0), total_steps=10, dtype=jnp.float32
+        small_cfg, hp, jax.random.key(0), dtype=jnp.float32
     )
     n = small_cfg.environment.num_cells
     A = small_cfg.num_actions
@@ -264,8 +264,8 @@ def test_network_forward_and_train_step(small_cfg):
         valid_mask=mask,
         weight=jnp.ones((B,), jnp.float32),
     )
-    step = make_train_step(net, hp, total_steps=10)
-    state2, metrics, value_l = step(state, batch, jax.random.key(1))
+    step = make_train_step(net, hp)
+    state2, metrics, value_l = step(state, batch, jax.random.key(1), 1e-3)
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
     assert value_l.shape == (B,)
@@ -273,3 +273,86 @@ def test_network_forward_and_train_step(small_cfg):
     flat1 = jax.tree_util.tree_leaves(state.params)
     flat2 = jax.tree_util.tree_leaves(state2.params)
     assert any(not np.allclose(a, b) for a, b in zip(flat1, flat2))
+
+
+# ------------------------------------------------------- training recipe
+
+
+def test_onecycle_lr_matches_torch():
+    """onecycle_lr must reproduce torch.optim.lr_scheduler.OneCycleLR
+    (the reference's exact scheduler construction, reference
+    network_wrappers/policy_value_network_wrappers.py:57-69) bit-close
+    over the whole step range for several schedule lengths."""
+    import torch
+
+    from ipp_rl_tpu.planners.zero.train import onecycle_lr
+
+    hp = MCTSZeroHyperParams()  # learning_rate 5e-4, max 5e-3
+    for epochs, num_batches in [(3, 7), (1, 1), (2, 50), (3, 128)]:
+        total = epochs * num_batches
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=hp.learning_rate)
+        sched = torch.optim.lr_scheduler.OneCycleLR(
+            opt,
+            max_lr=hp.max_learning_rate,
+            epochs=epochs,
+            steps_per_epoch=num_batches,
+            div_factor=hp.max_learning_rate / hp.learning_rate,
+            final_div_factor=100,
+            anneal_strategy="linear",
+            three_phase=True,
+            pct_start=0.40,
+        )
+        for step in range(total):
+            want = opt.param_groups[0]["lr"]  # LR used at this step
+            got = onecycle_lr(hp, step, total)
+            assert abs(got - want) < 1e-12 * max(1.0, abs(want)) + 1e-15, (
+                f"step {step}/{total}: got {got}, torch {want}"
+            )
+            opt.step()
+            sched.step()
+
+
+def test_optimizer_reset_per_iteration(small_cfg):
+    """reset_optimizer zeroes the momentum buffers and step counter —
+    the reference rebuilds SGD every train() call (wrappers :51-56)."""
+    from ipp_rl_tpu.planners.zero.train import (
+        TrainBatch,
+        init_train_state,
+        make_train_step,
+        reset_optimizer,
+    )
+
+    hp = MCTSZeroHyperParams(
+        num_channels=16, num_encoder_res_blocks=2, num_global_pooling_channels=4
+    )
+    net, state = init_train_state(small_cfg, hp, jax.random.key(0), dtype=jnp.float32)
+    n = small_cfg.environment.num_cells
+    A = small_cfg.num_actions
+    rng = np.random.default_rng(0)
+    batch = TrainBatch(
+        planes=jnp.asarray(rng.normal(size=(2, n, n, hp.input_channels)), jnp.float32),
+        policy=jnp.full((2, A), 1.0 / A, jnp.float32),
+        value=jnp.asarray(rng.uniform(0, 1, 2), jnp.float32),
+        reward=jnp.zeros((2,), jnp.float32),
+        valid_mask=jnp.ones((2, A), jnp.float32),
+        weight=jnp.ones((2,), jnp.float32),
+    )
+    step = make_train_step(net, hp)
+    state, _, _ = step(state, batch, jax.random.key(1), 1e-3)
+    assert int(state.step) == 1
+    # trace (momentum) state is nonzero after a step
+    trace_leaves = [
+        x for x in jax.tree_util.tree_leaves(state.opt_state) if hasattr(x, "shape")
+    ]
+    assert any(np.any(np.asarray(x) != 0) for x in trace_leaves if x.ndim > 0)
+    reset = reset_optimizer(hp, state)
+    assert int(reset.step) == 0
+    reset_leaves = [
+        x for x in jax.tree_util.tree_leaves(reset.opt_state) if hasattr(x, "shape")
+    ]
+    assert all(np.all(np.asarray(x) == 0) for x in reset_leaves if x.ndim > 0)
+    # params themselves are untouched by the reset
+    l1 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(reset.params)
+    assert all(np.array_equal(a, b) for a, b in zip(l1, l2))

@@ -35,8 +35,8 @@ def test_arena_play_games(world):
     from ipp_rl_tpu.planners.zero.arena import Arena
     from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
 
-    net, s1 = init_train_state(small_cfg := world.cfg, HP, jax.random.key(0), 10)
-    _, s2 = init_train_state(world.cfg, HP, jax.random.key(1), 10)
+    net, s1 = init_train_state(small_cfg := world.cfg, HP, jax.random.key(0))
+    _, s2 = init_train_state(world.cfg, HP, jax.random.key(1))
     arena = Arena(world, HP, episode_horizon=2, max_game_steps=4)
     pred = predict_fn(net)
     r_prev, r_curr = arena.play_games(
@@ -71,7 +71,7 @@ def test_replay_augmentation(world):
     from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
     from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
 
-    net, state = init_train_state(world.cfg, HP, jax.random.key(0), 10)
+    net, state = init_train_state(world.cfg, HP, jax.random.key(0))
     mcts = ZeroMCTS(world, HP, 2, predict_fn(net))
     sp = SelfPlay(world, HP, 2, mcts)
     traj, _ = sp.run(jax.random.key(1), num_envs=2, net_variables=state.variables())

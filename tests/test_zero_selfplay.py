@@ -39,7 +39,7 @@ def world(small_cfg):
 def net_and_state(small_cfg):
     from ipp_rl_tpu.planners.zero.train import init_train_state
 
-    return init_train_state(small_cfg, TINY_HP, jax.random.key(0), total_steps=20)
+    return init_train_state(small_cfg, TINY_HP, jax.random.key(0))
 
 
 @pytest.fixture(scope="module")
@@ -198,3 +198,100 @@ def test_split_network_learner(world, tmp_path):
     l1 = jax.tree_util.tree_leaves(state2.policy.params)
     l2 = jax.tree_util.tree_leaves(learner.state.policy.params)
     assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+
+def test_gather_vectorization_exact(world, trajectory):
+    """The vectorized _gather must match the naive per-row/per-step loop
+    (the round-1 implementation) exactly."""
+    traj, _ = trajectory
+    from ipp_rl_tpu.planners.zero.selfplay import Trajectory
+
+    buf = ReplayBuffer(world, TINY_HP, window_size=2)
+    buf.add_iteration(0, Trajectory(*[np.asarray(x) for x in traj]))
+    buf.add_iteration(1, Trajectory(*[np.asarray(x * 0 + x) for x in traj]))
+    rng = np.random.default_rng(3)
+    rows = buf._index[rng.integers(0, len(buf), size=16)]
+
+    # naive oracle
+    hp, L = TINY_HP, TINY_HP.input_history_length
+    n = world.cfg.environment.num_cells
+    B = len(rows)
+    covs = np.zeros((B, L, n, n), np.float32)
+    poss = np.zeros((B, L, 3), np.float32)
+    bfrs = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int32)
+    budget0 = world.cfg.constraints.budget
+    for i, (it, e, t) in enumerate(rows):
+        tr = buf._iters[int(it)]
+        hist_len = min(L, t + 1)
+        lens[i] = hist_len
+        for k in range(hist_len):
+            covs[i, k] = tr.cov[e, t - k]
+            poss[i, k] = tr.prev_pos[e, t - k]
+            bfrs[i, k] = tr.budget[e, t - k] / budget0
+
+    batch = buf._gather(rows)
+    planes_oracle = buf._build_planes(
+        jnp.asarray(covs), jnp.asarray(poss), jnp.asarray(bfrs),
+        jnp.asarray(lens),
+        jnp.asarray(
+            np.stack([buf._iters[int(it)].mean[e, t] for it, e, t in rows])
+        ),
+    )
+    np.testing.assert_array_equal(np.asarray(batch.planes), np.asarray(planes_oracle))
+    for i, (it, e, t) in enumerate(rows):
+        tr = buf._iters[int(it)]
+        np.testing.assert_array_equal(np.asarray(batch.policy[i]), tr.policy[e, t])
+        np.testing.assert_allclose(float(batch.value[i]), tr.value[e, t], rtol=1e-6)
+
+
+def test_train_resume(world, tmp_path):
+    """Kill-and-resume: a fresh learner with restart_training=True +
+    train_examples_iter=k reloads the persisted replay window and skips
+    the first self-play (reference mcts_zero_mission.py:304,313,525-531)."""
+    import os
+
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP)
+    dirs = dict(
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        train_data_dir=str(tmp_path / "data"),
+    )
+    learner = ZeroLearner(world, mc, num_envs=2, **dirs)
+    learner.learn(num_iterations=2, num_train_batches=1)
+    # TINY_HP window is 1 at iteration 1 → iter_0 pruned, iter_1 kept
+    # (sliding-window deletion, reference mission :364-368)
+    assert not os.path.exists(str(tmp_path / "data" / "iter_0.npz"))
+    assert os.path.exists(str(tmp_path / "data" / "iter_1.npz"))
+    window_samples = len(learner.replay)
+    orig_index = learner.replay._index.copy()
+
+    # simulate a crash: brand-new learner resuming from iteration 1
+    mc2 = MissionConfig(
+        type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP,
+        restart_training=True, train_examples_iter=1,
+    )
+    learner2 = ZeroLearner(world, mc2, num_envs=2, **dirs)
+    start, skip = learner2._resume()
+    assert (start, skip) == (1, True)
+    assert len(learner2.replay) == window_samples
+    np.testing.assert_array_equal(learner2.replay._index, orig_index)
+    # resumed weights come from the persisted deployment checkpoint
+    l1 = jax.tree_util.tree_leaves(learner.state.params)
+    l2 = jax.tree_util.tree_leaves(learner2.state.params)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+    # a full resumed learn() call runs the remaining iterations
+    learner3 = ZeroLearner(world, mc2, num_envs=2, **dirs)
+    learner3.learn(num_iterations=3, num_train_batches=1)
+    assert os.path.exists(str(tmp_path / "data" / "iter_2.npz"))
+
+    # missing data → resume degrades to a cold start (reference :528)
+    mc3 = MissionConfig(
+        type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP,
+        restart_training=True, train_examples_iter=99,
+    )
+    learner4 = ZeroLearner(world, mc3, num_envs=2, **dirs)
+    assert learner4._resume() == (0, False)

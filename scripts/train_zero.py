@@ -32,20 +32,25 @@ logger = logging.getLogger("train_zero")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iterations", type=int, default=6)
-    ap.add_argument("--envs", type=int, default=48)
-    ap.add_argument("--sims", type=int, default=24)
+    ap.add_argument("--iterations", type=int, default=30)
+    ap.add_argument("--envs", type=int, default=192)
+    ap.add_argument("--sims", type=int, default=32)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=6)
-    ap.add_argument("--max-episode-steps", type=int, default=16)
-    ap.add_argument("--train-batches", type=int, default=24)
-    ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--max-episode-steps", type=int, default=24)
+    ap.add_argument("--train-batches", type=int, default=48)
+    ap.add_argument("--eval-batch", type=int, default=32)
     ap.add_argument("--out", default="runs/zero_small")
     ap.add_argument(
         "--puct-init", type=float, default=15.0,
         help="lower (e.g. 4) concentrates search targets at low sim counts",
     )
     ap.add_argument("--eval-steps", type=int, default=25)
+    ap.add_argument(
+        "--eval-untrained", action="store_true",
+        help="also evaluate the search with freshly initialized weights "
+        "(control: separates what search contributes from what training adds)",
+    )
     args = ap.parse_args()
 
     setup_logger(os.path.join(args.out, "logs"))
@@ -83,17 +88,39 @@ def main():
     logger.info("training done in %.1f min", (time.time() - t0) / 60)
 
     # -------- evaluation on held-out worlds at matched budget ----------
+    # deploy with the trained weights AND the end-of-training exploration
+    # constants (the reference's execute() after learn() sees the decayed
+    # hyper_params dict, reference mcts_zero_mission.py:231-243,533)
     B = args.eval_batch
     key = jax.random.key(12345)
     init_state = world.init_state(key, B)
 
+    import dataclasses
+
+    deploy_hp = dataclasses.replace(hp, puct_init=learner.puct_init)
+    deploy_mc = MissionConfig(
+        type="mcts_zero", episode_horizon=5, hyper_params=deploy_hp
+    )
     results = {}
-    zero_planner = ZeroPlanner(world, mc, learner.predict, learner.state.variables())
-    for name, planner in [
-        ("mcts_zero", zero_planner),
+    planners = [
+        (
+            "mcts_zero",
+            ZeroPlanner(world, deploy_mc, learner.predict, learner.state.variables()),
+        ),
         ("greedy", GreedyPlanner(world, MissionConfig(type="greedy"))),
         ("random", RandomDiscretePlanner(world, MissionConfig(type="random_discrete"))),
-    ]:
+    ]
+    if args.eval_untrained:
+        from ipp_rl_tpu.planners.zero.train import init_train_state
+
+        _, state0 = init_train_state(cfg, hp, jax.random.key(999))
+        planners.append(
+            (
+                "mcts_zero_untrained",
+                ZeroPlanner(world, deploy_mc, learner.predict, state0.variables()),
+            )
+        )
+    for name, planner in planners:
         t0 = time.time()
         res = planner.run(
             jax.random.key(7), B, max_steps=args.eval_steps, init_state=init_state
@@ -103,12 +130,19 @@ def main():
             "final_rmse": float(res.metrics["rmse"][:, -1].mean()),
             "mean_steps": float(res.num_steps.mean()),
             "wall_s": round(time.time() - t0, 1),
+            "uncertainty_curve": [
+                round(float(u), 3) for u in res.metrics["uncertainty"].mean(axis=0)
+            ],
+            "rmse_curve": [
+                round(float(u), 4) for u in res.metrics["rmse"].mean(axis=0)
+            ],
         }
-        logger.info("%s: %s", name, results[name])
+        logger.info("%s: %s", name, {k: v for k, v in results[name].items()
+                                     if not k.endswith("_curve")})
 
     with open(os.path.join(args.out, "eval.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps(results))
+    print(json.dumps({k: v["final_uncertainty"] for k, v in results.items()}))
 
 
 if __name__ == "__main__":

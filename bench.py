@@ -30,11 +30,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(
         "--mode",
-        choices=("greedy", "rollouts", "zero", "train"),
+        choices=("greedy", "rollouts", "zero", "train", "dp"),
         default="greedy",
         help="greedy: full replan steps (headline); rollouts: all-action "
         "KF rollout pricing throughput; zero: neural PUCT search replans; "
-        "train: jitted train-step throughput at the canonical batch",
+        "train: jitted train-step throughput at the canonical batch; "
+        "dp: greedy replans dp-sharded over a device mesh",
     )
     ap.add_argument(
         "--sims",
@@ -42,11 +43,25 @@ def main():
         default=0,
         help="zero mode: override num_mcts_simulations (0 = config value)",
     )
+    ap.add_argument(
+        "--devices",
+        type=int,
+        default=0,
+        help="dp mode: mesh size (0 = all visible devices)",
+    )
+    ap.add_argument(
+        "--cpu-mesh",
+        action="store_true",
+        help="dp mode: force the CPU backend with --devices virtual devices "
+        "(how the sharded path is exercised without a multi-chip slice)",
+    )
     args = ap.parse_args()
     if args.mode == "zero":
         return bench_zero(args)
     if args.mode == "train":
         return bench_train(args)
+    if args.mode == "dp":
+        return bench_dp(args)
 
     from ipp_rl_tpu import load_config
     from ipp_rl_tpu.config.schema import MissionConfig
@@ -128,6 +143,94 @@ def main():
                     "steps_per_block": K,
                     "ms_per_replan_step": round(ms_per_step, 3),
                     "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+def bench_dp(args):
+    """Greedy replan steps with the mission batch dp-sharded over a
+    device mesh — the BASELINE.json operating point (4096 missions split
+    across a v4-16's 8 chips) end-to-end through the sharded path.
+
+    Without multi-chip hardware, --cpu-mesh exercises the identical
+    program on N virtual CPU devices (functional validation; the timing
+    headline stays the single-chip modes)."""
+    import os
+
+    if args.cpu_mesh:
+        n = args.devices or 8
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+
+    import jax
+
+    if args.cpu_mesh:
+        # the axon plugin overrides JAX_PLATFORMS; force CPU explicitly
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ipp_rl_tpu import load_config
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.parallel.mesh import make_mesh, shard_batch
+    from ipp_rl_tpu.planners import GreedyPlanner
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "ipp_rl_tpu/config/example.yaml")
+    cfg = load_config(cfg_path)
+    world = IPPWorld(cfg, fast_sweeps=True)
+    planner = GreedyPlanner(world, MissionConfig(type="greedy"))
+    mesh = make_mesh(n_devices=args.devices or None)
+    D = mesh.devices.size
+    B, K = args.batch, args.steps
+    assert B % D == 0, f"batch {B} not divisible by mesh size {D}"
+
+    def replan_block(state, key):
+        def step(carry, k):
+            st = carry
+            k_plan, k_meas = jax.random.split(k)
+            action = planner.plan(st, k_plan, jnp.int32(0))
+            st = world.step_index(st, action, k_meas)
+            return st, None
+
+        keys = jax.random.split(key, K)
+        state, _ = jax.lax.scan(step, state, keys)
+        return state
+
+    block = jax.jit(replan_block, donate_argnums=(0,))
+    state = shard_batch(mesh, world.init_state(jax.random.key(0), B))
+    state = block(state, jax.random.key(1))  # compile + warmup
+    jax.block_until_ready(state)
+    # the donated output keeps the input sharding — verify it stayed on dp
+    n_shards = len(state.cov.sharding.device_set)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state = block(state, jax.random.key(2 + r))
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    target = 4096 / 0.010  # whole-slice target: 4096 missions / 10 ms
+    print(
+        json.dumps(
+            {
+                "metric": "dp_mesh_greedy_replans_per_s",
+                "value": round(B * K / best, 1),
+                "unit": "replans/s",
+                "vs_baseline": round(B * K / best / target, 3),
+                "detail": {
+                    "batch": B,
+                    "mesh_devices": D,
+                    "state_shards": n_shards,
+                    "missions_per_device": B // D,
+                    "ms_per_replan_step": round(best / K * 1e3, 3),
+                    "backend": jax.devices()[0].platform,
                 },
             }
         )

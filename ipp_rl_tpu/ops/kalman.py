@@ -92,6 +92,7 @@ def kf_update(
     R_diag: jnp.ndarray,
     z: Optional[jnp.ndarray] = None,
     jitter: float = 0.0,
+    joseph: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full Kalman commit: returns (mean', P').
 
@@ -99,10 +100,24 @@ def kf_update(
     (padded entries are ignored because the matching gain columns are 0).
     Pass ``z=None`` for a covariance-only update (planner rollouts,
     reference mapping/mappings.py:114-153 ``cov_only``).
+
+    ``joseph=True`` commits via the Joseph-stabilized form
+    P' = (I−KH)·P·(I−KH)ᵀ + K·diag(R)·Kᵀ — algebraically identical to the
+    reference's P − Wc·Wcᵀ for the optimal gain (mappings.py:185-197),
+    but PSD-preserving for ANY K, which the f32 on-device episode loop
+    needs: the plain subtraction drifts P indefinite after tens of
+    aggressive commits (negative pivots → exploding S⁻¹ → NaN beliefs —
+    observed in 24-step self-play at batch 192).  float64 difference vs
+    the reference form is O(ε·cond), ~1e-13 on the canonical workload.
     """
     PHt, S_inv = innovation_inverse(P, H, R_diag, jitter)
     K = PHt @ S_inv  # (N, M) Kalman gain
-    P_next = P - K @ PHt.T
+    if joseph:
+        n = P.shape[-1]
+        ImKH = jnp.eye(n, dtype=P.dtype) - K @ H
+        P_next = ImKH @ P @ ImKH.T + (K * R_diag[None, :]) @ K.T
+    else:
+        P_next = P - K @ PHt.T
     P_next = 0.5 * (P_next + P_next.T)
     if z is None:
         return mean, P_next

@@ -164,6 +164,8 @@ class ZeroLearner:
         )
         buffer_cls = PrioritizedReplayBuffer if hp.use_per else ReplayBuffer
         self.replay = buffer_cls(world, hp, hp.start_train_examples_history)
+        self._epoch_runner = None  # compiled lazily (fused uniform path)
+        self._CHUNK_STEPS = 32
         self.arena = Arena(world, hp, mission_cfg.episode_horizon)
 
         # mutable exploration schedule state (reference :231-243)
@@ -324,15 +326,16 @@ class ZeroLearner:
                 # reuse the persisted examples (reference :313)
                 episode_values = np.zeros((1,), np.float32)
             else:
-                traj, episode_values = self._selfplay_run(
+                traj_dev, episode_values = self._selfplay_run(
                     self._next_key(),
                     self.num_envs,
                     net_variables=self.state.variables(),
                     puct_init=self.puct_init,
                     dirichlet_alpha=self.dirichlet_alpha,
                 )
-                traj = jax.tree_util.tree_map(np.asarray, traj)
-                self.replay.add_iteration(iteration, traj)
+                traj = jax.tree_util.tree_map(np.asarray, traj_dev)
+                # keep the device copy alive for the fused epoch runner
+                self.replay.add_iteration(iteration, traj, device_traj=traj_dev)
                 self.save_train_examples(iteration, traj)
             sp_time = time.time() - t0
 
@@ -395,7 +398,13 @@ class ZeroLearner:
         recipe: a FRESH SGD + three-phase OneCycle sized to this
         iteration's actual ``num_epochs × num_batches`` steps (reference
         wrappers :51-69).  hp.per_iteration_lr_schedule=False keeps the
-        round-1 global schedule + persistent momentum instead."""
+        round-1 global schedule + persistent momentum instead.
+
+        Uniform replay takes the fused on-device path (whole window
+        resident in HBM, gather+planes+step scanned in fixed-size chunks
+        — one host round trip per chunk instead of per batch); PER keeps
+        the per-batch loop because priorities must update between
+        samples."""
         hp = self.hp
         num_batches = self.replay.num_batches(hp.batch_size)
         if num_batches_cap is not None:
@@ -405,6 +414,8 @@ class ZeroLearner:
         total_steps = max(1, num_batches * hp.num_epochs)
         if hp.per_iteration_lr_schedule:
             self.state = reset_optimizer(hp, self.state)
+        if not isinstance(self.replay, PrioritizedReplayBuffer):
+            return self._train_iteration_fused(total_steps)
         last = {}
         step_in_iter = 0
         for epoch in range(hp.num_epochs):
@@ -427,6 +438,47 @@ class ZeroLearner:
                     self.replay.update(idx, per_sample)
                 last = {k: float(v) for k, v in metrics.items()}
                 last["lr"] = lr
+        return last
+
+    def _train_iteration_fused(self, total_steps: int) -> Dict:
+        """Scan-based epoch(s): ``total_steps`` minibatches rounded DOWN
+        to whole chunks of ``_CHUNK_STEPS`` so one compiled program (per
+        padded window shape) serves every iteration.  The OneCycle
+        horizon uses the executed step count, so the schedule still
+        sweeps its full three phases (reference wrappers :51-69)."""
+        hp = self.hp
+        if self._epoch_runner is None:
+            self._epoch_runner = self.replay.make_epoch_runner(self.train_step)
+        win, slot_map = self.replay.device_window(hp.max_train_examples_history)
+        chunk = min(self._CHUNK_STEPS, max(1, total_steps))
+        n_chunks = max(1, total_steps // chunk)
+        executed = n_chunks * chunk
+        last = {}
+        for c in range(n_chunks):
+            if hp.per_iteration_lr_schedule:
+                lrs = np.asarray(
+                    [
+                        onecycle_lr(hp, c * chunk + s, executed)
+                        for s in range(chunk)
+                    ],
+                    np.float32,
+                )
+            else:
+                lrs = np.asarray(
+                    [
+                        onecycle_lr(hp, self._global_step + s, self._global_total)
+                        for s in range(chunk)
+                    ],
+                    np.float32,
+                )
+            rows = self.replay.epoch_rows(chunk, hp.batch_size, self.rng, slot_map)
+            self.state, metrics = self._epoch_runner(
+                self.state, win, jnp.asarray(rows), jnp.asarray(lrs),
+                self._next_key(),
+            )
+            self._global_step += chunk
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            last["lr"] = float(lrs[-1])
         return last
 
     def arena_gate(self, prev_state: ZeroTrainState, arena_games=None) -> bool:

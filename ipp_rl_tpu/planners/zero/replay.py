@@ -18,7 +18,7 @@ weights, priorities updated from per-sample value loss — reference
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,22 @@ from ipp_rl_tpu.config.schema import MCTSZeroHyperParams
 from ipp_rl_tpu.env.world import IPPWorld
 from ipp_rl_tpu.planners.zero.selfplay import Trajectory, planes_from_sample
 from ipp_rl_tpu.planners.zero.train import TrainBatch
+
+
+class DeviceWindow(NamedTuple):
+    """The replay window stacked on device: (K slots, E envs, T steps, ...).
+
+    Slots beyond the live window are zero-filled so the runner compiles
+    once for K = max_train_examples_history regardless of window growth."""
+
+    cov: jnp.ndarray  # (K, E, T, N, N)
+    mean: jnp.ndarray  # (K, E, T, N)
+    prev_pos: jnp.ndarray  # (K, E, T, 3)
+    budget: jnp.ndarray  # (K, E, T)
+    policy: jnp.ndarray  # (K, E, T, A)
+    valid_mask: jnp.ndarray  # (K, E, T, A)
+    reward: jnp.ndarray  # (K, E, T)
+    value: jnp.ndarray  # (K, E, T)
 
 
 class ReplayBuffer:
@@ -43,6 +59,7 @@ class ReplayBuffer:
         self.hp = hp
         self.window_size = window_size
         self._iters: Dict[int, Trajectory] = {}
+        self._dev_iters: Dict[int, Trajectory] = {}  # device-resident copies
         self._index: Optional[np.ndarray] = None  # (num_samples, 3) iter,e,t
         self._iter_keys: List[int] = []
         self._build_planes = jax.jit(self._make_planes_builder())
@@ -58,10 +75,18 @@ class ReplayBuffer:
 
         return build
 
-    def add_iteration(self, iteration: int, traj: Trajectory):
+    def add_iteration(
+        self, iteration: int, traj: Trajectory, device_traj: Optional[Trajectory] = None
+    ):
         """Register a finished self-play iteration (host numpy) and drop
-        iterations outside the window (reference mcts_zero_mission.py:364-368)."""
+        iterations outside the window (reference mcts_zero_mission.py:364-368).
+
+        ``device_traj`` keeps the just-generated on-device trajectory
+        alive so the fused epoch runner never re-uploads it over the
+        (slow, tunneled) host↔device link."""
         self._iters[iteration] = jax.tree_util.tree_map(np.asarray, traj)
+        if device_traj is not None:
+            self._dev_iters[iteration] = device_traj
         self.set_window(iteration, self.window_size)
 
     def set_window(self, current_iteration: int, window_size: int):
@@ -70,6 +95,9 @@ class ReplayBuffer:
         for k in list(self._iters):
             if k < start:
                 del self._iters[k]
+        for k in list(self._dev_iters):
+            if k < start:
+                del self._dev_iters[k]
         self._rebuild_index()
 
     def _rebuild_index(self):
@@ -147,6 +175,102 @@ class ReplayBuffer:
             valid_mask=jnp.asarray(msks),
             weight=jnp.ones((B,), jnp.float32),
         )
+
+    # --------------------------------------- fused on-device epoch path
+    #
+    # Per-batch host→device round trips dominate the train loop on a
+    # tunneled TPU (~0.5 s/batch measured vs ~1.4 ms of device compute).
+    # The fused path keeps the whole replay window resident on device
+    # (DeviceWindow), ships only the sampled (slot, env, step) index
+    # rows + LR schedule per chunk, and runs gather → planes → train
+    # step inside one lax.scan.
+
+    def device_window(self, max_slots: int) -> Tuple[DeviceWindow, Dict[int, int]]:
+        """Stack the live window on device, zero-padded to ``max_slots``.
+
+        Returns (window, {iteration: slot}).  Iterations whose device
+        copy is gone (e.g. after resume-from-disk) are uploaded once."""
+        its = sorted(self._iters)
+        assert len(its) <= max_slots, f"window {len(its)} > {max_slots} slots"
+        fields = {}
+        devs = []
+        for it in its:
+            d = self._dev_iters.get(it)
+            if d is None:
+                d = jax.tree_util.tree_map(jnp.asarray, self._iters[it])
+                self._dev_iters[it] = d
+            devs.append(d)
+        for name in DeviceWindow._fields:
+            parts = [getattr(d, name) for d in devs]
+            pad = max_slots - len(parts)
+            if pad:
+                parts.extend([jnp.zeros_like(parts[0])] * pad)
+            fields[name] = jnp.stack(parts, axis=0)
+        return DeviceWindow(**fields), {it: k for k, it in enumerate(its)}
+
+    def epoch_rows(
+        self, num_steps: int, batch_size: int, rng: np.random.Generator,
+        slot_map: Dict[int, int],
+    ) -> np.ndarray:
+        """Uniform-with-replacement samples for ``num_steps`` minibatches
+        as (num_steps, draw, 3) int32 (slot, env, step) rows."""
+        assert len(self) > 0, "empty replay buffer"
+        draw = max(1, batch_size // (self.hp.num_augmented_samples + 1))
+        idx = rng.integers(0, len(self), size=(num_steps, draw))
+        rows = self._index[idx]  # (num_steps, draw, 3) — (iter, e, t)
+        slots = np.vectorize(slot_map.__getitem__)(rows[..., 0])
+        return np.stack([slots, rows[..., 1], rows[..., 2]], axis=-1).astype(
+            np.int32
+        )
+
+    def _gather_device(self, win: DeviceWindow, rows: jnp.ndarray) -> TrainBatch:
+        """In-jit equivalent of ``_gather`` against a DeviceWindow."""
+        world, hp = self.world, self.hp
+        L = hp.input_history_length
+        dt = win.cov.dtype
+        k, e, t = rows[:, 0], rows[:, 1], rows[:, 2]
+        budget0 = jnp.asarray(world.cfg.constraints.budget, dt)
+        ks = jnp.arange(L)
+        tk = t[:, None] - ks[None, :]  # (B, L)
+        valid = (tk >= 0).astype(dt)
+        tkc = jnp.maximum(tk, 0)
+        kL, eL = k[:, None], e[:, None]
+        covs = win.cov[kL, eL, tkc] * valid[:, :, None, None]
+        poss = win.prev_pos[kL, eL, tkc] * valid[:, :, None]
+        bfrs = win.budget[kL, eL, tkc] / budget0 * valid
+        lens = jnp.minimum(L, t + 1).astype(jnp.int32)
+        means = win.mean[k, e, t]
+        planes = jax.vmap(
+            lambda c, p, b, l, m: planes_from_sample(world, hp, c, p, b, l, m)
+        )(covs, poss, bfrs, lens, means)
+        return TrainBatch(
+            planes=planes,
+            policy=win.policy[k, e, t],
+            value=win.value[k, e, t],
+            reward=win.reward[k, e, t],
+            valid_mask=win.valid_mask[k, e, t],
+            weight=jnp.ones((rows.shape[0],), dt),
+        )
+
+    def make_epoch_runner(self, train_step):
+        """Returns jitted (state, win, rows, lrs, key) -> (state, metrics)
+        scanning ``rows.shape[0]`` minibatches fully on device;
+        ``metrics`` are stacked per step (host reads the last)."""
+
+        def run(state, win: DeviceWindow, rows, lrs, key):
+            keys = jax.random.split(key, rows.shape[0])
+
+            def body(st, inp):
+                rows_b, lr, kk = inp
+                k_aug, k_drop = jax.random.split(kk)
+                batch = self._gather_device(win, rows_b)
+                batch = self._augment(batch, k_aug)
+                st, metrics, _ = train_step(st, batch, k_drop, lr)
+                return st, metrics
+
+            return jax.lax.scan(body, state, (rows, lrs, keys))
+
+        return jax.jit(run, donate_argnums=(0,))
 
     def _augment(self, batch: TrainBatch, key: jax.Array) -> TrainBatch:
         """Random-shift augmentation: replication-pad 4 + random crop

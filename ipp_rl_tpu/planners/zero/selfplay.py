@@ -164,10 +164,21 @@ class SelfPlay:
                 dirichlet_alpha=dirichlet_alpha,
                 num_simulations=num_simulations,
             )
+            # an env with NO valid action terminates (the reference's
+            # next_actions_msk.sum() == 0 guard, reference mcts.py:200-201)
+            # — otherwise the uniform-fallback policy samples the zero-cost
+            # current-position action forever, repeatedly measuring the
+            # same cells until the f32 covariance collapses
+            running = running & (jnp.sum(root_mask, axis=-1) > 0)
             temperature = jnp.asarray(
                 hp.temperature_scale * (depth < hp.temperature_threshold), dt
             )
-            policy = self.mcts.root_policy(tree, k_pol, temperature)
+            # prune with the SAME (decayed) exploration constant the search
+            # used (reference prunes via compute_uct on the live
+            # hyper_params dict, reference mcts.py:106,233-243)
+            policy = self.mcts.root_policy(
+                tree, k_pol, temperature, puct_init=puct_init
+            )
 
             # sample an action per env (reference :135)
             logits = jnp.log(jnp.maximum(policy, 1e-30))

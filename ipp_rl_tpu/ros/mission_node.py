@@ -116,3 +116,30 @@ class IPPMissionNode:
         msg = self.build_message(max_steps)
         pub.publish(String(data=msg.to_json()))
         rospy.spin()
+
+
+def main():  # pragma: no cover — thin CLI (exercised via docker-compose)
+    """CLI entry (the reference's roslaunch ipp_planning mission.launch,
+    reference planning/launch/mission.launch:1-8): build the stack from
+    CONFIG_FILE_PATH, plan, and publish — over ROS when rospy is
+    importable, else to the PLAN_OUTPUT JSON file."""
+    import os
+
+    from ipp_rl_tpu.config.schema import load_config
+    from ipp_rl_tpu.utils import setup_logger
+
+    setup_logger(os.environ.get("LOG_DIR", "logs"))
+    cfg = load_config(
+        os.environ.get("CONFIG_FILE_PATH", "ipp_rl_tpu/config/example.yaml")
+    )
+    node = IPPMissionNode(cfg)
+    try:
+        import rospy  # noqa: F401
+
+        node.run_ros()
+    except ImportError:
+        node.run(output_path=os.environ.get("PLAN_OUTPUT", "waypoints.json"))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

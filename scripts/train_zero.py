@@ -47,6 +47,13 @@ def main():
     )
     ap.add_argument("--eval-steps", type=int, default=25)
     ap.add_argument(
+        "--temperature-threshold", type=int, default=0,
+        help="steps before the visit-policy temperature drops to 0 "
+        "(0 = max-episode-steps, the reference semantics: its canonical "
+        "threshold 40 >= its 40-step episodes, so self-play NEVER trains "
+        "on one-hot targets — reference config/example.yaml:63-64)",
+    )
+    ap.add_argument(
         "--eval-untrained", action="store_true",
         help="also evaluate the search with freshly initialized weights "
         "(control: separates what search contributes from what training adds)",
@@ -66,7 +73,7 @@ def main():
         num_global_pooling_channels=min(32, args.channels // 2),
         batch_size=64,
         num_epochs=2,
-        temperature_threshold=8,
+        temperature_threshold=args.temperature_threshold or args.max_episode_steps,
         shuffle_prior_cov=True,
         continuous_network_update=True,
         puct_init=args.puct_init,

@@ -37,6 +37,7 @@ def test_cma_es_minimizes_quadratic():
     np.testing.assert_allclose(np.asarray(best_x), np.asarray(target), atol=0.2)
 
 
+@pytest.mark.slow
 def test_classic_mcts_mission(world):
     mc = MissionConfig(
         type="mcts", num_simulations=16, episode_horizon=3, horizontal_spacing=12.0
@@ -48,6 +49,7 @@ def test_classic_mcts_mission(world):
     assert unc[:, -1].mean() < unc[:, 0].mean()
 
 
+@pytest.mark.slow
 def test_classic_mcts_beats_random(world):
     mc = MissionConfig(
         type="mcts", num_simulations=24, episode_horizon=3, horizontal_spacing=14.0
@@ -62,6 +64,7 @@ def test_classic_mcts_beats_random(world):
     )
 
 
+@pytest.mark.slow
 def test_cmaes_mission(world):
     mc = MissionConfig(
         type="cmaes", episode_horizon=2, cma_popsize=6, cma_maxiter=4, cma_sigma=2.0
@@ -81,6 +84,7 @@ def test_cmaes_mission(world):
     assert np.all(wps[..., 0][ok] <= env.extent_x + 1e-5)
 
 
+@pytest.mark.slow
 def test_classic_mcts_root_parallel(world):
     """num_mcts_workers=W runs W vmapped trees with num_simulations/W
     sims each and merges root stats by summed per-action visit/value

@@ -40,6 +40,7 @@ def problem():
     return P, H, R, mean, z
 
 
+@pytest.mark.slow
 def test_sharded_kf_matches_dense(mesh, problem):
     P, H, R, mean, z = problem
     mean_ref, P_ref = kf_update(
@@ -52,6 +53,7 @@ def test_sharded_kf_matches_dense(mesh, problem):
     np.testing.assert_allclose(np.asarray(mean_out), np.asarray(mean_ref), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_kf_cov_only(mesh, problem):
     P, H, R, mean, z = problem
     _, P_ref = kf_update(
@@ -64,6 +66,7 @@ def test_sharded_kf_cov_only(mesh, problem):
     np.testing.assert_allclose(np.asarray(mean_out), mean)
 
 
+@pytest.mark.slow
 def test_sharded_sweep_matches_dense(mesh, problem):
     P, H, R, mean, z = problem
     rng = np.random.default_rng(1)
@@ -79,6 +82,7 @@ def test_sharded_sweep_matches_dense(mesh, problem):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import importlib.util
     import pathlib
@@ -91,6 +95,7 @@ def test_dryrun_multichip_entry():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_sharded_greedy_mission(small_cfg):
     """The whole batched greedy mission runs with the mission axis sharded
     over a dp mesh — XLA partitions the program from the input sharding

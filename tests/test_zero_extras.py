@@ -31,6 +31,7 @@ def world(small_cfg):
     return IPPWorld(small_cfg, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_arena_play_games(world):
     from ipp_rl_tpu.planners.zero.arena import Arena
     from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
@@ -48,6 +49,7 @@ def test_arena_play_games(world):
     assert float(r_prev) > 0 and float(r_curr) > 0
 
 
+@pytest.mark.slow
 def test_learner_arena_gating(world, tmp_path):
     """continuous_network_update=False exercises accept/rollback."""
     from ipp_rl_tpu.planners.zero.learn import ZeroLearner

@@ -177,6 +177,7 @@ def test_zero_planner_raw_policy(world, net_and_state):
     assert np.all(res.num_steps >= 1)
 
 
+@pytest.mark.slow
 def test_split_network_learner(world, tmp_path):
     """hp.shared_network=False trains split policy/value nets end-to-end."""
     from ipp_rl_tpu.planners.zero.learn import ZeroLearner, load_checkpoint
@@ -245,6 +246,88 @@ def test_gather_vectorization_exact(world, trajectory):
         np.testing.assert_allclose(float(batch.value[i]), tr.value[e, t], rtol=1e-6)
 
 
+def test_device_gather_matches_host_gather(world, trajectory):
+    """The fused path's in-jit gather against a DeviceWindow must equal
+    the host-side _gather for the same index rows."""
+    traj, _ = trajectory
+    from ipp_rl_tpu.planners.zero.selfplay import Trajectory
+
+    buf = ReplayBuffer(world, TINY_HP, window_size=2)
+    buf.add_iteration(0, Trajectory(*[np.asarray(x) for x in traj]))
+    buf.add_iteration(1, Trajectory(*[np.asarray(x + 0) for x in traj]))
+    rng = np.random.default_rng(5)
+    win, slot_map = buf.device_window(max_slots=4)
+    rows = buf.epoch_rows(3, 8, rng, slot_map)  # (3, 8, 3) slot rows
+
+    # slot == iteration key order here, so host rows are identical
+    inv = {v: k for k, v in slot_map.items()}
+    for step in range(rows.shape[0]):
+        host_rows = np.stack(
+            [
+                np.vectorize(inv.__getitem__)(rows[step, :, 0]),
+                rows[step, :, 1],
+                rows[step, :, 2],
+            ],
+            axis=-1,
+        )
+        host_batch = buf._gather(host_rows)
+        dev_batch = buf._gather_device(win, jnp.asarray(rows[step]))
+        for name in host_batch._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(dev_batch, name)),
+                np.asarray(getattr(host_batch, name)),
+                rtol=1e-6,
+                atol=1e-7,
+                err_msg=name,
+            )
+
+
+def test_fused_epoch_runner_trains(world, net_and_state, trajectory):
+    """The scanned epoch runner advances the train state and matches a
+    manual per-batch replay of the same rows/keys/LRs."""
+    from ipp_rl_tpu.planners.zero.selfplay import Trajectory
+    from ipp_rl_tpu.planners.zero.train import make_train_step
+
+    traj, _ = trajectory
+    net, state0 = init_train_state(world.cfg, TINY_HP, jax.random.key(11))
+    step = make_train_step(net, TINY_HP)
+    buf = ReplayBuffer(world, TINY_HP, window_size=1)
+    buf.add_iteration(0, Trajectory(*[np.asarray(x) for x in traj]))
+    win, slot_map = buf.device_window(max_slots=2)
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(buf.epoch_rows(4, 8, rng, slot_map))
+    lrs = jnp.asarray(np.full((4,), 1e-3, np.float32))
+    key = jax.random.key(21)
+
+    runner = buf.make_epoch_runner(step)
+    out_state, metrics = runner(state0, win, rows, lrs, key)
+    assert int(out_state.step) == 4
+    assert np.isfinite(np.asarray(metrics["total_loss"])).all()
+
+    # manual oracle with the same key schedule
+    st = init_train_state(world.cfg, TINY_HP, jax.random.key(11))[1]
+    keys = jax.random.split(key, 4)
+    for i in range(4):
+        k_aug, k_drop = jax.random.split(keys[i])
+        batch = buf._gather_device(win, rows[i])
+        batch = buf._augment(batch, k_aug)
+        st, m, _ = step(st, batch, k_drop, lrs[i])
+    np.testing.assert_allclose(
+        float(m["total_loss"]),
+        float(np.asarray(metrics["total_loss"])[-1]),
+        rtol=1e-5,
+    )
+    chex = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        out_state.params,
+        st.params,
+    )
+    del chex
+
+
+@pytest.mark.slow
 def test_train_resume(world, tmp_path):
     """Kill-and-resume: a fresh learner with restart_training=True +
     train_examples_iter=k reloads the persisted replay window and skips

@@ -5,10 +5,16 @@ TPU and evaluates it against the greedy / random baselines on held-out
 worlds (the reference's core claim: on-par solution quality at a
 fraction of the planning runtime, reference README.md:15-16,
 mcts_zero_mission.py:417-455).  The run's eval table is committed at
-runs/zero_small/eval.json; these tests assert the orderings that make
-the artifact evidence of learning, so a regression that silently breaks
-training (targets, replay, schedules, deploy path) fails CI the next
-time the artifact is regenerated.
+runs/zero_canon/eval.json (20 iterations x 192 envs, 100 simulations,
+40-step episodes — the reference's canonical search/episode scale);
+these tests assert the orderings that make the artifact evidence of
+learning, so a regression that silently breaks training (targets,
+replay, schedules, deploy path) fails CI the next time the artifact is
+regenerated.
+
+Committed result (32 held-out worlds, 25 replan steps, budget 200):
+trained zero 13.24 final uncertainty vs random 40.23 and
+untrained-weights search 43.98; RMSE 0.1486 vs greedy's 0.1419.
 """
 
 import json
@@ -17,7 +23,7 @@ import os
 import pytest
 
 ARTIFACT = os.path.join(
-    os.path.dirname(__file__), "..", "runs", "zero_small", "eval.json"
+    os.path.dirname(__file__), "..", "runs", "zero_canon", "eval.json"
 )
 
 

@@ -44,6 +44,14 @@ def main():
         help="zero mode: override num_mcts_simulations (0 = config value)",
     )
     ap.add_argument(
+        "--infer-dtype",
+        choices=("bf16", "f32"),
+        default="bf16",
+        help="zero mode: network-inference dtype inside the search "
+        "(bf16 halves plane HBM traffic and doubles MXU rate; output "
+        "agreement with f32 is tested — tests/test_zero_extras.py)",
+    )
+    ap.add_argument(
         "--devices",
         type=int,
         default=0,
@@ -265,7 +273,10 @@ def bench_zero(args):
     B = min(args.batch, 256)
     sims = args.sims or hp.num_mcts_simulations
     net, state = init_train_state(cfg, hp, jax.random.key(0))
-    mcts = ZeroMCTS(world, hp, cfg.missions[0].episode_horizon, predict_fn(net))
+    infer_dt = jnp.bfloat16 if args.infer_dtype == "bf16" else None
+    mcts = ZeroMCTS(
+        world, hp, cfg.missions[0].episode_horizon, predict_fn(net, dtype=infer_dt)
+    )
 
     st = world.init_state(jax.random.key(1), B)
     hist = jax.vmap(lambda _: init_history(cfg, hp, world.dtype))(jnp.arange(B))
@@ -312,6 +323,7 @@ def bench_zero(args):
                     "ms_per_replan": round(best * 1e3, 1),
                     "ms_per_mission_replan": round(best / B * 1e3, 3),
                     "reference_replan_s_1worker": round(sims * 0.01545, 3),
+                    "inference_dtype": args.infer_dtype,
                     "network_channels": hp.num_channels,
                     "device": str(jax.devices()[0]),
                 },

@@ -230,20 +230,38 @@ def make_train_step(net: PolicyValueNetwork, hp: MCTSZeroHyperParams):
     return train_step
 
 
-def predict_fn(net: PolicyValueNetwork):
+def predict_fn(net: PolicyValueNetwork, dtype=None):
     """Inference: (variables, planes, mask) → (policy probs, value).
 
     The value head emits √-scaled values; invert v² + 2v for the true
     scale (reference wrappers :217-231).  This function is inlined into
     the jitted search step — the reference's batched inference server
     process (reference inference_workers.py:38-127) disappears.
+
+    ``dtype=jnp.bfloat16`` runs the forward in bf16 (weights + planes
+    cast at call time — the cast of the loop-invariant weights hoists
+    out of the simulation loop; the plane cast fuses into the plane
+    builder so the materialized leaf planes are half-width).  Outputs
+    are returned in f32.  Search decision quality is preserved (tested
+    in tests/test_zero_extras.py::test_bf16_inference_search_agreement);
+    training always stays f32.
     """
     from ipp_rl_tpu.ops.rewards import invert_scaled_value_target
 
     def predict(variables, planes, valid_mask):
+        if dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
+            planes = planes.astype(dtype)
         log_policy, value, _, _ = net.apply(
             variables, planes, valid_mask, train=False
         )
+        log_policy = log_policy.astype(jnp.float32)
+        value = value.astype(jnp.float32)
         return jnp.exp(log_policy), invert_scaled_value_target(value)
 
     return predict

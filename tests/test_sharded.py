@@ -96,6 +96,45 @@ def test_dryrun_multichip_entry():
 
 
 @pytest.mark.slow
+def test_initialize_multihost_two_processes():
+    """`initialize_multihost` actually executed multi-process: two jax
+    processes (4 virtual CPU devices each) rendezvous through
+    jax.distributed, build the 8-device global mesh, and reduce a
+    dp-sharded global array across process boundaries."""
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = pathlib.Path(__file__).resolve().parent / "multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=180)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err}"
+        assert "MULTIHOST_OK 120.0 8" in out, out
+
+
+@pytest.mark.slow
 def test_dp_sharded_greedy_mission(small_cfg):
     """The whole batched greedy mission runs with the mission axis sharded
     over a dp mesh — XLA partitions the program from the input sharding

@@ -136,3 +136,47 @@ def test_temperature_field(tmp_path):
     assert field.shape == (8, 8)
     assert field.min() >= 0.0 and field.max() <= 1.0
     assert field.max() == 1.0  # min-max normalized
+
+
+def test_bf16_inference_search_agreement(world):
+    """bf16 network inference (the bench's default search path) agrees
+    with f32: same probabilities to bf16 tolerance, and a full search
+    driven by the bf16 predict returns a valid root policy."""
+    from ipp_rl_tpu.planners.zero.features import init_history
+    from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    cfg = world.cfg
+    net, st = init_train_state(cfg, HP, jax.random.key(0))
+    B = 4
+    state = world.init_state(jax.random.key(1), B)
+    hist = jax.vmap(lambda c, p, b: init_history(cfg, HP, jnp.float32))(
+        state.cov, state.pos, state.budget
+    )
+
+    # direct predict agreement on real feature planes
+    from ipp_rl_tpu.planners.zero.features import feature_planes, push_history
+
+    frac = state.budget / jnp.asarray(cfg.constraints.budget, jnp.float32)
+    hist1 = jax.vmap(push_history)(hist, state.cov, state.pos, frac)
+    planes = jax.vmap(lambda h, m: feature_planes(world, HP, h, mean=m))(
+        hist1, state.mean
+    )
+    mask = jnp.ones((B, world.num_actions), jnp.float32)
+    p32, v32 = predict_fn(net)(st.variables(), planes, mask)
+    p16, v16 = predict_fn(net, dtype=jnp.bfloat16)(st.variables(), planes, mask)
+    assert p16.dtype == p32.dtype  # outputs come back f32
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=0.03)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), rtol=0.08, atol=0.05)
+
+    # end-to-end search through the bf16 predict
+    mcts = ZeroMCTS(world, HP, 2, predict_fn(net, dtype=jnp.bfloat16))
+    tree, root_mask = mcts.search(
+        state.cov, state.mean, state.pos, state.budget, hist,
+        jax.random.key(2), net_variables=st.variables(),
+    )
+    pol = mcts.root_policy(tree, jax.random.key(3), jnp.float32(1.0))
+    pol = np.asarray(pol)
+    assert np.all(np.isfinite(pol)) and np.all(pol >= 0)
+    np.testing.assert_allclose(pol.sum(axis=-1), 1.0, atol=1e-5)
+    assert np.all(pol[~np.asarray(root_mask)] < 1e-6)

@@ -225,6 +225,17 @@ class MCTSZeroHyperParams:
     log_network_parameters: bool = False
     use_global_context_mixing: bool = True
     num_global_pooling_channels: int = 32
+    # TPU-only extension (not a reference knob): network dtype INSIDE
+    # the jitted search — "bfloat16" halves leaf-plane HBM traffic and
+    # doubles MXU rate; training always stays float32.  Agreement with
+    # the f32 path is tested (tests/test_zero_extras.py).
+    inference_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.inference_dtype not in ("float32", "bfloat16"):
+            raise ConfigError(
+                f"inference_dtype must be float32|bfloat16, got {self.inference_dtype!r}"
+            )
 
 
 @dataclass(frozen=True)

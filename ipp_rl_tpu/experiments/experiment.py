@@ -67,14 +67,18 @@ def create_planner(
     if t == "mcts_zero":
         from ipp_rl_tpu.planners.zero.learn import ZeroLearner, load_checkpoint
         from ipp_rl_tpu.planners.zero.mission import ZeroPlanner
-        from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+        from ipp_rl_tpu.planners.zero.train import (
+            inference_dtype as _infer_dt,
+            init_train_state,
+            predict_fn,
+        )
 
         hp = mission_cfg.hyper_params
         if hp.shared_network:
             net, state = init_train_state(
                 world.cfg, hp, jax.random.key(0), dtype=world.dtype
             )
-            pred = predict_fn(net)
+            pred = predict_fn(net, dtype=_infer_dt(hp))
         else:
             from ipp_rl_tpu.planners.zero.train import (
                 init_split_train_state,
@@ -84,7 +88,7 @@ def create_planner(
             net, state = init_split_train_state(
                 world.cfg, hp, jax.random.key(0), dtype=world.dtype
             )
-            pred = split_predict_fn(net)
+            pred = split_predict_fn(net, dtype=_infer_dt(hp))
         ckpt = os.path.join(
             checkpoints_dir, f"shared_net.{mission_cfg.model_deployment_filename}"
         )

@@ -41,6 +41,7 @@ from ipp_rl_tpu.planners.zero.replay import PrioritizedReplayBuffer, ReplayBuffe
 from ipp_rl_tpu.planners.zero.selfplay import SelfPlay, Trajectory
 from ipp_rl_tpu.planners.zero.train import (
     ZeroTrainState,
+    inference_dtype as _l_infer_dt,
     init_train_state,
     make_train_step,
     onecycle_lr,
@@ -139,7 +140,7 @@ class ZeroLearner:
                 self.cfg, hp, self._next_key(), dtype=world.dtype
             )
             self.train_step = make_train_step(self.net, hp)
-            self.predict = predict_fn(self.net)  # (variables, planes, mask)
+            self.predict = predict_fn(self.net, dtype=_l_infer_dt(hp))  # (variables, planes, mask)
         else:
             # split policy/value networks (reference network_wrappers/
             # policy_network_wrappers.py, value_network_wrappers.py)
@@ -153,7 +154,7 @@ class ZeroLearner:
                 self.cfg, hp, self._next_key(), dtype=world.dtype
             )
             self.train_step = make_split_train_step(self.net, hp)
-            self.predict = split_predict_fn(self.net)
+            self.predict = split_predict_fn(self.net, dtype=_l_infer_dt(hp))
         self.mcts = ZeroMCTS(
             world, hp, mission_cfg.episode_horizon, self.predict
         )

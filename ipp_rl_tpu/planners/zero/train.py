@@ -397,16 +397,32 @@ def make_split_train_step(nets, hp: MCTSZeroHyperParams):
     return train_step
 
 
-def split_predict_fn(nets):
+def split_predict_fn(nets, dtype=None):
     """Inference over split nets: mirrors predict_fn's interface with
-    variables = {"policy": ..., "value": ...}."""
+    variables = {"policy": ..., "value": ...} (incl. the optional bf16
+    inference dtype)."""
     from ipp_rl_tpu.ops.rewards import invert_scaled_value_target
 
     p_net, v_net = nets
 
     def predict(variables, planes, valid_mask):
+        if dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
+            planes = planes.astype(dtype)
         log_policy = p_net.apply(variables["policy"], planes, valid_mask, train=False)
         value, _ = v_net.apply(variables["value"], planes, train=False)
+        log_policy = log_policy.astype(jnp.float32)
+        value = value.astype(jnp.float32)
         return jnp.exp(log_policy), invert_scaled_value_target(value)
 
     return predict
+
+
+def inference_dtype(hp: MCTSZeroHyperParams):
+    """Map hp.inference_dtype to the jnp dtype for predict_fn (None = f32)."""
+    return jnp.bfloat16 if hp.inference_dtype == "bfloat16" else None

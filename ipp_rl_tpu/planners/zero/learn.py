@@ -343,7 +343,6 @@ class ZeroLearner:
             # rollback snapshot (reference :370-372)
             temp_path = os.path.join(self.checkpoints_dir, "shared_net.temp")
             save_checkpoint(temp_path, self.state)
-            prev_state = self.state
 
             t1 = time.time()
             metrics = self.train_iteration(num_train_batches)
@@ -356,6 +355,12 @@ class ZeroLearner:
 
             accepted = True
             if not hp.continuous_network_update:
+                # The fused epoch runner donates the pre-training state's
+                # buffers (replay.py make_epoch_runner, donate_argnums=(0,)),
+                # so a live reference taken before training would hold
+                # deleted arrays. Rehydrate the rollback state from the
+                # just-written temp checkpoint instead.
+                prev_state = load_checkpoint(temp_path, self.state)
                 accepted = self.arena_gate(prev_state, arena_games)
             if accepted:
                 save_checkpoint(self.deployment_path(), self.state)

@@ -320,7 +320,9 @@ class IPPWorld:
         keys = jax.random.split(key, B)
         sensor = self.cfg.sensor
         var = sensor.coeff_a * (1.0 - jnp.exp(-sensor.coeff_b * waypoint[:, 2]))
-        std = jnp.sqrt(var).astype(self.dtype)
+        # injected std = get_noise_variance, the reference's quirk
+        # (PARITY.md §14, ops/sensor_model.py)
+        std = var.astype(self.dtype)
 
         def one(m, P, g, wp, s, k):
             H, R, Zmat, _ = self.measurement_model_at(wp)

@@ -235,7 +235,13 @@ def build_action_table(cfg: Config) -> ActionTable:
         # R = rf³ · σ²(h) · I (reference sensors/models/sensor_models.py:32-36)
         R_diag[a, :m] = (rfs[a] ** 3) * var
         meas_valid[a, :m] = True
-        noise_std[a] = math.sqrt(var)
+        # Simulated-noise scale: the reference passes get_noise_variance
+        # as np.random.normal's ``scale`` parameter (which is a STD, not
+        # a variance — simulations/sensor_manipulations.py:57-58), with
+        # no rf³ factor.  Reproduce that exact injected magnitude so
+        # map-RMSE matches the reference's missions (PARITY.md §14);
+        # the filter's R above keeps the reference's rf³·σ² quirk too.
+        noise_std[a] = var
 
     fov_mask = np.zeros((a_count, n), dtype=bool)
     x_dim = cfg.environment.x_dim

@@ -172,13 +172,20 @@ class ClassicMCTSPlanner(Planner):
         )
         vmin = jnp.min(jnp.where(exists, cval, jnp.inf))
         vmax = jnp.max(jnp.where(exists, cval, -jnp.inf))
+        # reference Node.uct quirk KEPT verbatim (mcts_mission.py:48-55):
+        # the "normalization" is value − min/(max−min) — an operator-
+        # precedence bug in the reference that effectively ranks children
+        # by raw mean value shifted by a constant.  Replicating it (not
+        # the intended (v−min)/(max−min)) matches the reference's
+        # exploit-leaning search behavior (quality-parity verified in
+        # runs/parity).
         norm = jnp.where(
             vmax == 0,
             cval,
             jnp.where(
                 vmax == vmin,
                 cval / jnp.where(vmax == 0, 1.0, vmax),
-                (cval - vmin) / jnp.maximum(vmax - vmin, 1e-30),
+                cval - vmin / jnp.maximum(vmax - vmin, 1e-30),
             ),
         )
         parent_visits = jnp.maximum(tree.visits[node], 1.0)
@@ -395,15 +402,31 @@ class ClassicMCTSPlanner(Planner):
             val = jnp.where(exists, tree.value_sum[jnp.maximum(cids, 0)], 0.0)
             vis_a = jnp.zeros((A,), dt).at[acts].add(vis)
             val_a = jnp.zeros((A,), dt).at[acts].add(val)
-            return vis_a, val_a
+            # per-CHILD mean values for the single-root best-child rule:
+            # duplicate children of the same action stay separate, so the
+            # max-over-duplicates order statistic is preserved
+            child_val = jnp.where(
+                exists, val / jnp.maximum(vis, 1e-30), -jnp.inf
+            )
+            best_child_action = acts[jnp.argmax(child_val)]
+            return vis_a, val_a, best_child_action
 
         def one(P, pos, budget, mean, k):
-            # W vmapped trees replace the reference's process pool; the
-            # merged root's best child is argmax of merged mean value
-            # (reference :340-350 select_best_child over merged children)
-            vis_a, val_a = jax.vmap(
+            # W vmapped trees replace the reference's process pool
+            vis_a, val_a, best_single = jax.vmap(
                 lambda kw: worker(P, pos, budget, mean, kw)
             )(jax.random.split(k, self.num_workers))
+            if self.num_workers == 1:
+                # reference select_best_child (mcts_mission.py:340-350):
+                # argmax of PER-CHILD mean value, duplicates unmerged.
+                # The root expands the greedy action ~(1−ε) of the time,
+                # so its value estimate is a max over many samples —
+                # merging duplicates to a per-action mean (below) loses
+                # that and measurably degrades solution quality.
+                return best_single[0]
+            # W > 1: reference merge_roots sums visit/value stats by
+            # action across roots, then best child = max merged mean
+            # value (:320-350)
             vis = jnp.sum(vis_a, axis=0)
             val = jnp.sum(val_a, axis=0)
             mean_val = val / jnp.maximum(vis, 1e-30)

@@ -65,6 +65,45 @@ def push_history(
     )
 
 
+def fov_cell_mask(cfg: Config, pos: jnp.ndarray) -> jnp.ndarray:
+    """Exact in-jit FoV footprint (N,) at an ARBITRARY position.
+
+    Reproduces the reference's project_field_of_view clipping rules
+    (reference sensors/cameras.py:49-75) — the same math the
+    continuous-position measurement model uses
+    (env/world.py measurement_model_at) — so `use_fov_input` planes are
+    exact even off-lattice (e.g. the arena's [0, 0, 10] start), where
+    the former nearest-lattice-action approximation deviated."""
+    import math
+
+    env, sensor = cfg.environment, cfg.sensor
+    z = pos[2]
+    range_x = jnp.floor(
+        2.0 * z * math.tan(0.5 * math.radians(sensor.angle_x)) / env.resolution
+    )
+    range_y = jnp.floor(
+        2.0 * z * math.tan(0.5 * math.radians(sensor.angle_y)) / env.resolution
+    )
+    col = jnp.floor(pos[0] / env.resolution)
+    row = jnp.floor(pos[1] / env.resolution)
+    rad_x = jnp.floor(0.5 * range_x)
+    rad_y = jnp.floor(0.5 * range_y)
+    xl = jnp.clip(col - rad_x, 0, env.x_dim - 1)
+    xr = jnp.clip(col + rad_x, 0, env.x_dim - 1)
+    yu = jnp.clip(row - rad_y, 0, env.y_dim - 1)
+    yd = jnp.clip(row + rad_y, 0, env.y_dim - 1)
+    cols = jnp.arange(env.x_dim)
+    rows = jnp.arange(env.y_dim)
+    # two preserved reference quirks (features.py:154-166): the
+    # footprint drops the LAST row and column of the projected FoV
+    # (linspace(xl, xr, xr−xl+1)[:-1]), and the plane's flat index is
+    # x·x_dim + y — TRANSPOSED relative to the reference's own H-matrix
+    # convention (y·x_dim + x, actions.py:69-70)
+    mx = (cols >= xl) & (cols <= xr - 1)
+    my = (rows >= yu) & (rows <= yd - 1)
+    return (mx[:, None] & my[None, :]).reshape(-1)
+
+
 def _min_max_normalize(x: jnp.ndarray) -> jnp.ndarray:
     lo, hi = jnp.min(x), jnp.max(x)
     same = hi == lo
@@ -105,14 +144,12 @@ def feature_planes(
     ones = jnp.ones((L, n, n), dt)
     env, con = cfg.environment, cfg.constraints
     if hp.use_fov_input:
-        # FoV indicator planes: outer product of the footprint mask
-        # (reference features.py:35-44); nearest lattice action's footprint
-        d = jnp.sum(
-            jnp.square(world.actions_xyz[None, :, :] - history.positions[:, None, :]),
-            axis=-1,
-        )
-        nearest = jnp.argmin(d, axis=-1)  # (L,)
-        fov = world.fov_mask[nearest].astype(dt)  # (L, N)
+        # FoV indicator planes: outer product of the EXACT footprint at
+        # the stored position (reference features.py:35-44 +
+        # cameras.py:49-75), valid on and off the lattice
+        fov = jax.vmap(lambda p: fov_cell_mask(cfg, p))(
+            history.positions
+        ).astype(dt)  # (L, N)
         fov_planes = fov[:, :, None] * fov[:, None, :]
         budget_planes = history.budgets[:, None, None] * ones
         planes = jnp.stack([states, fov_planes, budget_planes], axis=1)  # (L, 3, N, N)

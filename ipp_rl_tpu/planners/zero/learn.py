@@ -166,6 +166,8 @@ class ZeroLearner:
         buffer_cls = PrioritizedReplayBuffer if hp.use_per else ReplayBuffer
         self.replay = buffer_cls(world, hp, hp.start_train_examples_history)
         self._epoch_runner = None  # compiled lazily (fused uniform path)
+        self._per_epoch_runner = None  # compiled lazily (fused PER path)
+        self.fused_per = True  # False = host-loop PER (tests compare both)
         self._CHUNK_STEPS = 32
         self.arena = Arena(world, hp, mission_cfg.episode_horizon)
 
@@ -422,6 +424,8 @@ class ZeroLearner:
             self.state = reset_optimizer(hp, self.state)
         if not isinstance(self.replay, PrioritizedReplayBuffer):
             return self._train_iteration_fused(total_steps)
+        if self.fused_per:
+            return self._train_iteration_fused_per(total_steps)
         last = {}
         step_in_iter = 0
         for epoch in range(hp.num_epochs):
@@ -481,6 +485,60 @@ class ZeroLearner:
             self.state, metrics = self._epoch_runner(
                 self.state, win, jnp.asarray(rows), jnp.asarray(lrs),
                 self._next_key(),
+            )
+            self._global_step += chunk
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            last["lr"] = float(lrs[-1])
+        return last
+
+    def _train_iteration_fused_per(self, total_steps: int) -> Dict:
+        """Fused PER epochs: priorities live on device and are sampled
+        from / updated inside the scan (replay.make_per_epoch_runner) —
+        no per-batch host round trips.  Chunking, LR handling and the
+        executed-step OneCycle horizon mirror _train_iteration_fused;
+        β anneals β0 → 1 over the executed horizon exactly like the host
+        loop's begin_training/step (reference replay_buffers.py:117-128)."""
+        hp = self.hp
+        draw = max(1, hp.batch_size // (hp.num_augmented_samples + 1))
+        if self._per_epoch_runner is None:
+            self._per_epoch_runner = self.replay.make_per_epoch_runner(
+                self.train_step, draw
+            )
+        win, _ = self.replay.device_window(hp.max_train_examples_history)
+        valid = self.replay.device_valid(hp.max_train_examples_history)
+        pri = self.replay.init_device_priorities(valid)
+        chunk = min(self._CHUNK_STEPS, max(1, total_steps))
+        n_chunks = max(1, total_steps // chunk)
+        executed = n_chunks * chunk
+        beta0 = self.replay.beta0
+        last = {}
+        for c in range(n_chunks):
+            if hp.per_iteration_lr_schedule:
+                lrs = np.asarray(
+                    [
+                        onecycle_lr(hp, c * chunk + s, executed)
+                        for s in range(chunk)
+                    ],
+                    np.float32,
+                )
+            else:
+                lrs = np.asarray(
+                    [
+                        onecycle_lr(hp, self._global_step + s, self._global_total)
+                        for s in range(chunk)
+                    ],
+                    np.float32,
+                )
+            betas = np.asarray(
+                [
+                    min(beta0 + (c * chunk + s) * (1.0 - beta0) / executed, 1.0)
+                    for s in range(chunk)
+                ],
+                np.float32,
+            )
+            self.state, pri, metrics = self._per_epoch_runner(
+                self.state, pri, win, valid,
+                jnp.asarray(lrs), jnp.asarray(betas), self._next_key(),
             )
             self._global_step += chunk
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}

@@ -69,13 +69,15 @@ class Tree(NamedTuple):
     next_free: jnp.ndarray  # () int32
 
 
-def init_tree(num_sims: int, num_actions: int, n: int, m: int, dtype) -> Tree:
+def init_tree(
+    num_sims: int, num_actions: int, n: int, m: int, dtype, edge_dtype=None
+) -> Tree:
     c = num_sims + 2
     return Tree(
         parent=jnp.full((c,), NO_CHILD),
         action_in=jnp.full((c,), ROOT_ACTION),
         reward_in=jnp.zeros((c,), dtype),
-        wc_in=jnp.zeros((c, n, m), dtype),
+        wc_in=jnp.zeros((c, n, m), edge_dtype or dtype),
         budget=jnp.zeros((c,), dtype),
         depth=jnp.zeros((c,), jnp.int32),
         expanded=jnp.zeros((c,), bool),
@@ -121,11 +123,27 @@ class ZeroMCTS:
         hp: MCTSZeroHyperParams,
         episode_horizon: int,
         predict_fn,  # (variables, planes (B,S,S,C), masks (B,A)) -> (policy, value)
+        edge_dtype=None,
+        eval_chunk: int = 0,
     ):
+        """``edge_dtype`` (e.g. jnp.bfloat16) stores the per-edge whitened
+        gain factors Wc at half width — the dominant tree array (C, N, M);
+        descent casts back to the tree dtype, and the edge reward is
+        computed from the *rounded* factor so the backed-up gains stay
+        consistent with the reconstructed covariances.
+
+        ``eval_chunk`` > 0 evaluates leaf planes + network in fixed-size
+        mission chunks (lax.map) instead of one full-batch forward.  The
+        CNN activations at (B, N, N, num_channels) are what cap the
+        mission batch in HBM — chunking bounds activation peak by the
+        chunk size so B scales until the *tree* arrays fill HBM
+        (thousands of missions instead of 256 on 16 GiB)."""
         self.world = world
         self.hp = hp
         self.horizon = episode_horizon
         self.predict = predict_fn
+        self.edge_dtype = edge_dtype
+        self.eval_chunk = eval_chunk
         cfg = world.cfg
         self.A = world.num_actions
         self.N = cfg.environment.num_cells
@@ -154,6 +172,10 @@ class ZeroMCTS:
         H = self.world.H[a]  # (M, N)
         R = self.world.R_diag[a]
         Wc, _ = kf_gain_factor(P, H, R)
+        if self.edge_dtype is not None and self.edge_dtype != P.dtype:
+            # round-trip through the storage dtype so the gain backed up
+            # along the path matches the covariance the descent rebuilds
+            Wc = Wc.astype(self.edge_dtype).astype(P.dtype)
         sq = jnp.sum(Wc * Wc, axis=-1)  # (N,)
         if diag_mask is not None:
             sq = sq * diag_mask
@@ -278,7 +300,7 @@ class ZeroMCTS:
                     parent=tr.parent.at[new_idx].set(c.node),
                     action_in=tr.action_in.at[new_idx].set(a),
                     reward_in=tr.reward_in.at[new_idx].set(reward),
-                    wc_in=tr.wc_in.at[new_idx].set(Wc),
+                    wc_in=tr.wc_in.at[new_idx].set(Wc.astype(tr.wc_in.dtype)),
                     budget=tr.budget.at[new_idx].set(c.budget - cost),
                     depth=tr.depth.at[new_idx].set(c.depth + 1),
                     children=tr.children.at[c.node, a].set(new_idx),
@@ -289,9 +311,8 @@ class ZeroMCTS:
 
             # move into child, subtract the edge factor from running P
             move = ~done
-            P_next = jnp.where(
-                move, c.P - tree.wc_in[child] @ tree.wc_in[child].T, c.P
-            )
+            w = tree.wc_in[child].astype(c.P.dtype)
+            P_next = jnp.where(move, c.P - w @ w.T, c.P)
             budget_next = jnp.where(move, tree.budget[child], c.budget)
             hist_next = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(move, new, old),
@@ -325,9 +346,10 @@ class ZeroMCTS:
 
         carry = jax.lax.fori_loop(0, Hc, step, carry)
 
-        # leaf evaluation inputs
-        leaf_exists = carry.leaf >= 0
-        planes = feature_planes(self.world, self.hp, carry.hist, mean=mean_root)
+        # leaf evaluation inputs: the history ring is returned instead of
+        # materialized planes — the (B, N, N, C) plane build + CNN forward
+        # happen in mission chunks in ``search`` so activation memory does
+        # not scale with B
         leaf_pos = jnp.where(
             carry.path_len > 0,
             self.world.actions_xyz[
@@ -343,7 +365,7 @@ class ZeroMCTS:
             carry.path_rewards,
             carry.path_len,
             carry.leaf,
-            planes,
+            carry.hist,
             leaf_mask,
             leaf_pos,
         )
@@ -465,13 +487,65 @@ class ZeroMCTS:
             hp.dirichlet_alpha if dirichlet_alpha is None else dirichlet_alpha, dt
         )
 
-        one_tree = init_tree(sims, self.A, self.N, self.M, dt)
+        one_tree = init_tree(sims, self.A, self.N, self.M, dt, self.edge_dtype)
         tree = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), one_tree
         )
         tree = tree._replace(budget=tree.budget.at[:, 0].set(budget))
 
         root_mask = jax.vmap(self.valid_actions)(pos, budget)
+
+        # hoist the inference-dtype weight cast out of the simulation loop
+        # (predict's internal cast is then an identity) — see predict_fn
+        infer_dt = getattr(self.predict, "infer_dtype", None)
+        if infer_dt is not None:
+            net_variables = jax.tree_util.tree_map(
+                lambda x: x.astype(infer_dt)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                net_variables,
+            )
+
+        def eval_leaves(hist_leaf, leaf_mask):
+            """Plane build + batched CNN forward, in mission chunks.
+
+            The chunk loop is a fori_loop with a DYNAMIC trip count (like
+            the simulation loop) — a static-trip scan with the CNN in its
+            body trips this environment's remote-compiler loop-unrolling
+            hang (see CLAUDE.md)."""
+
+            def fwd(h, lm, mn):
+                planes = jax.vmap(
+                    lambda hh, m: feature_planes(self.world, self.hp, hh, mean=m)
+                )(h, mn)
+                return self.predict(net_variables, planes, lm.astype(dt))
+
+            G = self.eval_chunk
+            if not (G and B > G and B % G == 0):
+                return fwd(hist_leaf, leaf_mask, mean)
+
+            def chunk_body(c, out):
+                pol_all, val_all = out
+                start = c * G
+                h = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, start, G, axis=0),
+                    hist_leaf,
+                )
+                lm = jax.lax.dynamic_slice_in_dim(leaf_mask, start, G, axis=0)
+                mn = jax.lax.dynamic_slice_in_dim(mean, start, G, axis=0)
+                pol, val = fwd(h, lm, mn)
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(pol_all, pol, start, axis=0),
+                    jax.lax.dynamic_update_slice_in_dim(val_all, val, start, axis=0),
+                )
+
+            out0 = (
+                jnp.zeros((B, self.A), jnp.float32),
+                jnp.zeros((B,), jnp.float32),
+            )
+            return jax.lax.fori_loop(
+                0, jnp.asarray(B // G, jnp.int32), chunk_body, out0
+            )
 
         def sim_step(i, carry):
             tree, first = carry
@@ -480,14 +554,14 @@ class ZeroMCTS:
             sel_keys = jax.random.split(k_sel, B)
             noise_keys = jax.random.split(k_noise, B)
 
-            (tree, p_nodes, p_actions, p_rewards, p_len, leaf, planes, leaf_mask, _) = (
+            (tree, p_nodes, p_actions, p_rewards, p_len, leaf, hist_leaf, leaf_mask, _) = (
                 jax.vmap(
                     lambda tr, P, ps, mn, h, kk: self._simulate_one(
                         tr, P, ps, mn, h, p_init, kk
                     )
                 )(tree, cov, pos, mean, history, sel_keys)
             )
-            policy, value = self.predict(net_variables, planes, leaf_mask.astype(dt))
+            policy, value = eval_leaves(hist_leaf, leaf_mask)
             is_root_first = first & (leaf == 0)
             tree, leaf_value = jax.vmap(
                 lambda tr, lf, po, va, lm, rf, kk: self._integrate_eval(

@@ -317,6 +317,34 @@ class ReplayBuffer:
         pass
 
 
+def per_sample_rows(
+    priorities: jnp.ndarray,
+    flat_valid: jnp.ndarray,
+    alpha: float,
+    beta: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    key: jax.Array,
+    draw: int,
+):
+    """PER draw: with-replacement categorical over softmax(α·log p)
+    restricted to valid slots — the exact distribution of the host
+    ``rng.choice(n, p=p^α/Σp^α)`` — plus β-annealed max-normalized
+    importance weights (prob·n)^(−β) (reference replay_buffers.py:129-137).
+
+    Returns (flat indices (draw,), (draw, 3) int32 (slot, env, step)
+    rows, weights (draw,)).  Exposed for the host-equivalence test."""
+    K, E, T = priorities.shape
+    logits = jnp.where(flat_valid, alpha * jnp.log(priorities.reshape(-1)), -jnp.inf)
+    flat_idx = jax.random.categorical(key, logits, shape=(draw,))
+    logp = jax.nn.log_softmax(logits)
+    w = jnp.exp(-beta * (logp[flat_idx] + jnp.log(n_valid)))
+    w = w / jnp.max(w)
+    rows = jnp.stack(
+        [flat_idx // (E * T), (flat_idx // T) % E, flat_idx % T], axis=-1
+    ).astype(jnp.int32)
+    return flat_idx, rows, w
+
+
 class PrioritizedReplayBuffer(ReplayBuffer):
     """α-priority sampling with β-annealed importance weights
     (reference replay_buffers.py:104-141)."""
@@ -367,3 +395,70 @@ class PrioritizedReplayBuffer(ReplayBuffer):
 
     def update(self, indices: np.ndarray, priorities: np.ndarray):
         self._priorities[indices] = np.asarray(priorities)
+
+    # ------------------------------------------------- fused PER path
+    #
+    # The host-loop PER pays ~0.5 s/batch of host↔device round trips on
+    # the tunneled link (46× the fused uniform path) because priorities
+    # must update between samples.  Fused variant: priorities live on
+    # device as a (K, E, T) array aligned with the DeviceWindow slots;
+    # each scan step samples WITH replacement from softmax(α·log p) over
+    # the valid slots (identical to the host ``rng.choice(p=p^α/Σp^α)``
+    # distribution), computes β-annealed importance weights in-scan, and
+    # scatters the per-sample value losses back into the priorities —
+    # zero host round trips per batch (reference replay_buffers.py:104-141).
+
+    def device_valid(self, max_slots: int) -> jnp.ndarray:
+        """(K, E, T) bool sample-validity mask aligned with device_window."""
+        its = sorted(self._iters)
+        parts = [jnp.asarray(self._iters[it].sample_ok) for it in its]
+        pad = max_slots - len(parts)
+        if pad:
+            parts.extend([jnp.zeros_like(parts[0])] * pad)
+        return jnp.stack(parts, axis=0).astype(bool)
+
+    def init_device_priorities(self, valid: jnp.ndarray) -> jnp.ndarray:
+        """Uniform 1/n over valid slots (host _rebuild_index parity)."""
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.where(valid, 1.0 / n, 0.0).astype(jnp.float32)
+
+    def make_per_epoch_runner(self, train_step, draw: int):
+        """Returns jitted (state, priorities, win, valid, lrs, betas, key)
+        -> (state, priorities, metrics); ``draw`` pre-augmentation batch
+        rows per step.  Scans ``lrs.shape[0]`` minibatches fully on
+        device, sampling from and updating the priorities in-carry."""
+        alpha = self.alpha
+
+        def run(state, priorities, win: DeviceWindow, valid, lrs, betas, key):
+            K, E, T = priorities.shape
+            n_valid = jnp.sum(valid).astype(jnp.float32)
+            flat_valid = valid.reshape(-1)
+            keys = jax.random.split(key, lrs.shape[0])
+
+            def body(carry, inp):
+                st, pri = carry
+                lr, beta, kk = inp
+                k_samp, k_aug, k_drop = jax.random.split(kk, 3)
+                flat_idx, rows_b, w = per_sample_rows(
+                    pri, flat_valid, alpha, beta, n_valid, k_samp, draw
+                )
+                batch = self._gather_device(win, rows_b)
+                batch = batch._replace(weight=w.astype(batch.weight.dtype))
+                batch = self._augment(batch, k_aug)
+                st, metrics, value_l = train_step(st, batch, k_drop, lr)
+                # last-wins scatter matches numpy fancy assignment for
+                # duplicate draws (host ``update``)
+                pri = (
+                    pri.reshape(-1)
+                    .at[flat_idx]
+                    .set(value_l[:draw].astype(pri.dtype) + 1e-8)
+                    .reshape(K, E, T)
+                )
+                return (st, pri), metrics
+
+            (state, priorities), metrics = jax.lax.scan(
+                body, (state, priorities), (lrs, betas, keys)
+            )
+            return state, priorities, metrics
+
+        return jax.jit(run, donate_argnums=(0, 1))

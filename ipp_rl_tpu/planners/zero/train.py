@@ -238,10 +238,11 @@ def predict_fn(net: PolicyValueNetwork, dtype=None):
     the jitted search step — the reference's batched inference server
     process (reference inference_workers.py:38-127) disappears.
 
-    ``dtype=jnp.bfloat16`` runs the forward in bf16 (weights + planes
-    cast at call time — the cast of the loop-invariant weights hoists
-    out of the simulation loop; the plane cast fuses into the plane
-    builder so the materialized leaf planes are half-width).  Outputs
+    ``dtype=jnp.bfloat16`` runs the forward in bf16.  The returned
+    function carries ``infer_dtype`` so ``ZeroMCTS.search`` casts the
+    loop-invariant weights ONCE before the simulation loop (the cast
+    here is then an identity); the plane cast fuses into the plane
+    builder so the materialized leaf planes are half-width.  Outputs
     are returned in f32.  Search decision quality is preserved (tested
     in tests/test_zero_extras.py::test_bf16_inference_search_agreement);
     training always stays f32.
@@ -264,6 +265,7 @@ def predict_fn(net: PolicyValueNetwork, dtype=None):
         value = value.astype(jnp.float32)
         return jnp.exp(log_policy), invert_scaled_value_target(value)
 
+    predict.infer_dtype = dtype
     return predict
 
 
@@ -420,6 +422,7 @@ def split_predict_fn(nets, dtype=None):
         value = value.astype(jnp.float32)
         return jnp.exp(log_policy), invert_scaled_value_target(value)
 
+    predict.infer_dtype = dtype
     return predict
 
 

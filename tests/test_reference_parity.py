@@ -306,3 +306,77 @@ def test_full_greedy_trajectory_parity(world, canonical_cfg):
     np.testing.assert_allclose(
         np.asarray(res.final_state.cov[0]), P, atol=1e-7
     )
+
+
+def test_fov_feature_plane_parity_off_lattice(ref_stack, canonical_cfg):
+    """use_fov_input footprint at ARBITRARY (off-lattice) positions vs
+    the reference's generate_fov_feature_plane (features.py:35-44),
+    including its linspace[:-1] last-row/col-drop quirk and the arena's
+    [0, 0, 10] start."""
+    import types
+
+    import planning.common.features as ref_features
+
+    from ipp_rl_tpu.planners.zero.features import fov_cell_mask
+
+    grid, _, camera = ref_stack
+    mapping_shim = types.SimpleNamespace(grid_map=grid, sensor=camera)
+    rng = np.random.default_rng(3)
+    positions = [np.array([0.0, 0.0, 10.0])] + [
+        np.array([rng.uniform(0, 40), rng.uniform(0, 40), rng.uniform(8, 14)])
+        for _ in range(20)
+    ]
+    for pos in positions:
+        ref_plane = ref_features.generate_fov_feature_plane(mapping_shim, pos)
+        mask = np.asarray(fov_cell_mask(canonical_cfg, jnp.asarray(pos)))
+        ours_plane = np.outer(mask, mask).astype(float)
+        np.testing.assert_array_equal(ours_plane, ref_plane, err_msg=str(pos))
+
+
+def test_gcb_rollout_softmax_distribution_parity(world, canonical_cfg):
+    """The GCB rollout samples from softmax(benefit-to-cost) over the
+    available actions (reference mcts_mission.py:192-209); our
+    categorical logits produce the same distribution."""
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.planners import ClassicMCTSPlanner
+
+    t = world.table
+    n = 100
+    P = np.asarray(gp_prior_cov(canonical_cfg))
+    mean = 0.5 * np.ones(n)
+    pos = np.array([10.0, 14.0, 8.0])
+    budget = 60.0
+    radius = 10.0
+
+    # ---- reference gcb_policy math (mcts_mission.py:167-209) --------
+    ft = ref_actions.compute_flight_times(t.lattice.xyz, pos, UAV)
+    dist = np.linalg.norm(t.lattice.xyz - pos, ord=2, axis=1)
+    avail_ref = (ft > 0) & (ft <= budget) & (dist < radius)
+    msk = ref_rewards.compute_adaptive_msk(mean.reshape(10, 10), P, 0.4, 0.0)
+    benefits = []
+    for a in np.nonzero(avail_ref)[0]:
+        m = int(t.num_meas[a])
+        _, P1 = RefMapping.kalman_filter_update(
+            P, t.H[a, :m], np.diag(t.R_diag[a, :m]), cov_only=True
+        )
+        benefits.append(
+            ref_rewards.compute_reward(
+                P, P1, pos, t.lattice.xyz[a], UAV, msk
+            )
+        )
+    benefits = np.asarray(benefits)
+    probs_ref = np.exp(benefits) / np.exp(benefits).sum()
+
+    # ---- our categorical logits -------------------------------------
+    mc = MissionConfig(
+        type="mcts", use_gcb_rollout=True, horizontal_spacing=radius,
+        episode_horizon=5,
+    )
+    planner = ClassicMCTSPlanner(world, mc)
+    Pj, meanj, posj = jnp.asarray(P), jnp.asarray(mean), jnp.asarray(pos)
+    rewards, _ = planner._sweep_rewards(Pj, posj, meanj)
+    avail = np.asarray(planner._available(posj, jnp.asarray(budget)))
+    np.testing.assert_array_equal(avail, avail_ref)
+    logits = np.asarray(jnp.where(jnp.asarray(avail), rewards, -jnp.inf))
+    ours = np.exp(logits[avail]) / np.exp(logits[avail]).sum()
+    np.testing.assert_allclose(ours, probs_ref, rtol=1e-8)

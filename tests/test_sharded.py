@@ -106,29 +106,44 @@ def test_initialize_multihost_two_processes():
     import subprocess
     import sys
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     worker = pathlib.Path(__file__).resolve().parent / "multihost_worker.py"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
+
+    def spawn_and_wait():
+        # free-port discovery is inherently bind-close-reuse (TOCTOU);
+        # the whole spawn retries below if another process stole the port
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=180)
+                outs.append((p.returncode, out, err))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return outs
+
+    for attempt in range(3):
+        outs = spawn_and_wait()
+        if all(rc == 0 for rc, _, _ in outs):
+            break
+        rendezvous_raced = any(
+            "Address already in use" in err or "DEADLINE_EXCEEDED" in err
+            for _, _, err in outs
         )
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=180)
-            outs.append((p.returncode, out, err))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+        if not rendezvous_raced:
+            break  # a real failure — report it
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err}"
         assert "MULTIHOST_OK 120.0 8" in out, out
@@ -166,3 +181,66 @@ def test_dp_sharded_greedy_mission(small_cfg):
     )
     # outputs stay sharded over dp
     assert not stepped.cov.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_large_grid_sharded_greedy_mission(mesh):
+    """End-to-end ≥20×20-grid greedy mission where every O(N²) kernel
+    runs mp-sharded (sharded_sweep_gains + sharded_kf_update): identical
+    action sequence and matching final beliefs vs the dense path."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.parallel.large_grid import (
+        dense_greedy_mission,
+        sharded_greedy_mission,
+    )
+
+    cfg = config_from_dict(
+        {
+            "environment": {"x_dim": 20, "y_dim": 20, "resolution": 4},
+            "sensor": {
+                "type": "rgb_camera",
+                "field_of_view": {"angle_x": 60, "angle_y": 60},
+                "model": {"type": "altitude_dependent", "coeff_a": 0.05, "coeff_b": 0.2},
+                "simulation": {"type": "gaussian_random_field", "cluster_radius": 5},
+            },
+            "mapping": {
+                "fit_gaussian_process": True,
+                "signal_variance": 1.82,
+                "length_scale": 3.67,
+                "noise_variance": 1.42,
+                "nu": 1.5,
+            },
+            "experiment": {
+                "title": "large_grid",
+                "constraints": {
+                    "dist_to_boundaries": 3,
+                    "min_altitude": 8,
+                    "max_altitude": 14,
+                    "altitude_spacing": 6,
+                    "budget": 60,
+                },
+                "scenario": {"adaptive": True, "value_threshold": 0.4,
+                             "interval_factor": 0},
+                "uav": {"max_v": 2, "max_a": 2, "sampling_time": 2},
+                "missions": [{"type": "greedy"}],
+                "evaluation": {"repetitions": 1, "metrics": ["uncertainty"]},
+            },
+        }
+    )
+    world = IPPWorld(cfg, dtype=jnp.float64)
+    assert world.H.shape[0] == 800 and cfg.environment.num_cells == 400
+
+    key = jax.random.key(3)
+    sharded = sharded_greedy_mission(mesh, world, key, max_steps=6)
+    dense = dense_greedy_mission(world, key, max_steps=6)
+
+    np.testing.assert_array_equal(sharded["actions"], dense["actions"])
+    np.testing.assert_allclose(
+        sharded["final_cov"], dense["final_cov"], atol=1e-8
+    )
+    np.testing.assert_allclose(
+        sharded["final_mean"], dense["final_mean"], atol=1e-8
+    )
+    # the mission actually learned something
+    assert sharded["uncertainty"][-1] < sharded["uncertainty"][0]

@@ -131,6 +131,67 @@ def test_replay_per(world, trajectory):
     assert np.all(buf._priorities[idx] == 5.0)
 
 
+def test_fused_per_sampling_matches_host(world):
+    """per_sample_rows draws from the exact host distribution
+    p^α/Σp^α over valid slots, with the host importance-weight formula
+    (reference replay_buffers.py:129-137)."""
+    from ipp_rl_tpu.planners.zero.replay import per_sample_rows
+
+    rng = np.random.default_rng(7)
+    K, E, T = 2, 3, 5
+    alpha, beta = 0.6, 0.5
+    valid = rng.random((K, E, T)) < 0.7
+    valid.flat[0] = True  # at least one valid
+    pri = np.where(valid, rng.random((K, E, T)) + 0.05, 0.0).astype(np.float32)
+    n_valid = valid.sum()
+
+    host_probs = np.where(valid, pri**alpha, 0.0).reshape(-1)
+    host_probs = host_probs / host_probs.sum()
+
+    draw = 20000
+    flat_idx, rows, w = per_sample_rows(
+        jnp.asarray(pri), jnp.asarray(valid.reshape(-1)), alpha,
+        jnp.float32(beta), jnp.float32(n_valid), jax.random.key(3), draw,
+    )
+    flat_idx, w = np.asarray(flat_idx), np.asarray(w)
+    # no invalid slot ever drawn
+    assert valid.reshape(-1)[flat_idx].all()
+    # empirical frequencies match the host sampling distribution
+    freq = np.bincount(flat_idx, minlength=K * E * T) / draw
+    assert np.abs(freq - host_probs).max() < 0.01
+    # weights: (prob·n)^(−β), max-normalized — exact vs host formula
+    host_w = (host_probs[flat_idx] * n_valid) ** (-beta)
+    host_w = host_w / host_w.max()
+    np.testing.assert_allclose(w, host_w, rtol=1e-4)
+    # rows decode the flat index
+    dec = rows[:, 0] * E * T + rows[:, 1] * T + rows[:, 2]
+    np.testing.assert_array_equal(dec, flat_idx)
+
+
+def test_learner_fused_per_smoke(world, tmp_path):
+    """One fused-PER learner iteration trains end-to-end on device."""
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+
+    hp = MCTSZeroHyperParams(
+        **{**TINY_HP.__dict__, "use_per": True, "num_augmented_samples": 1}
+    )
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=hp)
+    learner = ZeroLearner(
+        world, mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+    )
+    assert learner.fused_per
+    learner.learn(num_iterations=1, num_train_batches=2)
+    import json, os
+
+    assert os.path.exists(learner.deployment_path())
+    lines = open(str(tmp_path / "logs" / "train_metrics.jsonl")).read().splitlines()
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["total_loss"])
+
+
 def test_learner_smoke(world, tmp_path):
     from ipp_rl_tpu.planners.zero.learn import ZeroLearner, load_checkpoint
 

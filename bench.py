@@ -242,13 +242,14 @@ def _measure_zero_detail(batch, sims, repeats, eval_chunk):
         return tree.Nsa[:, 0]
 
     variables = state.variables()
-    jax.block_until_ready(replan(variables, jax.random.key(2)))
+    out = jax.block_until_ready(replan(variables, jax.random.key(2)))
     times = []
     for r in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(replan(variables, jax.random.key(3 + r)))
+        out = jax.block_until_ready(replan(variables, jax.random.key(3 + r)))
         times.append(time.perf_counter() - t0)
     best = min(times)
+    mean_root_visits = float(jnp.mean(jnp.sum(out, axis=-1)))
     # reference deploy replan: 15.45 ms/simulation CPU torch, one worker
     # (scripts/bench_reference_zero.py, synchronous-inference — generous)
     ref_s = sims * 0.01545
@@ -260,6 +261,7 @@ def _measure_zero_detail(batch, sims, repeats, eval_chunk):
         "ms_per_replan": round(best * 1e3, 1),
         "ms_per_replan_median": round(sorted(times)[len(times) // 2] * 1e3, 1),
         "repeats": len(times),
+        "mean_root_visits": round(mean_root_visits, 1),
         "vs_reference_1worker": round((batch / best) * ref_s, 1),
         "inference_dtype": "bf16",
         "edge_dtype": "bf16",
@@ -428,10 +430,12 @@ def bench_zero(args):
     world = IPPWorld(cfg, fast_sweeps=True)
     hp = cfg.missions[0].hyper_params
     # What caps the mission batch is the CNN activation footprint
-    # (B, N, N, num_channels), not the trees (~0.7 MB/mission): leaf
-    # inference therefore runs in --eval-chunk mission chunks (lax.map)
-    # so activation peak is constant in B, and the per-edge gain factors
-    # are stored bf16. B=2048 at 100 sims fits a 16 GiB chip (was 256).
+    # (B, N, N, num_channels), not the trees (~0.53 MB/mission bf16):
+    # leaf inference runs in --eval-chunk mission chunks so activation
+    # peak is constant in B, and the per-edge gain factors are stored
+    # bf16.  Measured: B=4096 at 100 sims runs on a 16 GiB chip at
+    # 5.9 ms/mission-replan (was capped at 256 in r2); see
+    # docs/PERFORMANCE.md for the r3 scaling table.
     B = args.batch
     sims = args.sims or hp.num_mcts_simulations
     net, state = init_train_state(cfg, hp, jax.random.key(0))
@@ -470,6 +474,9 @@ def bench_zero(args):
         out = jax.block_until_ready(replan(variables, jax.random.key(3 + r)))
         times.append(time.perf_counter() - t0)
     best = min(times)
+    # sanity canary: each mission's root visit count must equal ~sims;
+    # a silently failed search (e.g. OOM fallback) shows up here
+    mean_root_visits = float(jnp.mean(jnp.sum(out, axis=-1)))
     med = sorted(times)[len(times) // 2]
     # Reference baseline measured on this host by scripts/bench_reference_zero.py:
     # the actual reference deploy replan (mcts_zero_mission.py:469-523, one
@@ -491,6 +498,7 @@ def bench_zero(args):
                     "ms_per_replan_median": round(med * 1e3, 1),
                     "repeats": len(times),
                     "ms_per_mission_replan": round(best / B * 1e3, 3),
+                    "mean_root_visits": round(mean_root_visits, 1),
                     "reference_replan_s_1worker": round(sims * 0.01545, 3),
                     "reference_baseline_dtype": "f32",
                     "inference_dtype": args.infer_dtype,

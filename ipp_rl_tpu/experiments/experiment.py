@@ -96,9 +96,27 @@ def create_planner(
             state = load_checkpoint(ckpt, state)
             logger.info("loaded mcts_zero checkpoint %s", ckpt)
         else:
-            # train first if no deployment checkpoint exists
-            # (reference mcts_zero_mission.py:541-562)
-            logger.info("no checkpoint at %s — training from scratch", ckpt)
+            # Reference semantics: train first if no deployment checkpoint
+            # exists (reference mcts_zero_mission.py:541-562).  With the
+            # canonical 40-iteration config this is a multi-HOUR run that
+            # a plain `python main.py` would otherwise start silently, so
+            # make it unmistakable and refusable.
+            hp = mission_cfg.hyper_params
+            est = hp.num_self_play_iterations
+            logger.warning(
+                "no mcts_zero checkpoint at %s — about to TRAIN FROM "
+                "SCRATCH (%d self-play iterations; the canonical config "
+                "takes hours).  To benchmark a trained agent instead, "
+                "point CHECKPOINTS_DIR at a directory containing "
+                "shared_net.%s (e.g. runs/zero_canon/checkpoints), or "
+                "set IPP_ALLOW_IMPLICIT_TRAINING=0 to make this an error.",
+                ckpt, est, mission_cfg.model_deployment_filename,
+            )
+            if os.environ.get("IPP_ALLOW_IMPLICIT_TRAINING", "1") == "0":
+                raise FileNotFoundError(
+                    f"mcts_zero checkpoint missing: {ckpt} "
+                    "(implicit training disabled by IPP_ALLOW_IMPLICIT_TRAINING=0)"
+                )
             learner = ZeroLearner(world, mission_cfg, checkpoints_dir=checkpoints_dir)
             learner.learn()
             state = learner.state

@@ -148,6 +148,9 @@ class CMAESPlanner(Planner):
         s = mission_cfg.cma_sigma
         sz = min(s, (con.max_altitude - con.min_altitude) / 2.0)
         self.sigma_scales = np.tile([s, s, sz], self.horizon).astype(np.float32)
+        # mission-scan dispatch chunk (see run(); host-chunked to dodge
+        # the axon big-program worker crash)
+        self.scan_chunk = 4
 
     def _trajectory_loss(
         self,
@@ -291,10 +294,34 @@ class CMAESPlanner(Planner):
             out_wp = jnp.where(can_move[:, None], wp, jnp.nan)
             return (state, t + 1), (metrics, out_wp, state.budget, can_move, cost)
 
-        keys = jax.random.split(k_run, T)
-        (state, _), (metrics_h, wps, budgets, actives, costs) = jax.lax.scan(
-            step_fn, (state0, jnp.int32(0)), keys
+        # The mission loop is scanned in fixed-size chunks dispatched
+        # from the host rather than one T-step mega-scan: a single scan
+        # whose body nests the full CMA-ES (maxiter × popsize × horizon
+        # rollouts) × tens of mission steps reliably crashes this
+        # environment's TPU worker (same axon big-program pathology as
+        # the compile hang documented in CLAUDE.md).  One compiled
+        # chunk program serves every dispatch; semantics are identical.
+        chunk = min(self.scan_chunk, T)
+        n_chunks = -(-T // chunk)
+        keys = jax.random.split(k_run, n_chunks * chunk)
+
+        @jax.jit
+        def scan_chunk(carry, ks):
+            return jax.lax.scan(step_fn, carry, ks)
+
+        carry = (state0, jnp.int32(0))
+        outs = []
+        for c in range(n_chunks):
+            carry, out = scan_chunk(carry, keys[c * chunk : (c + 1) * chunk])
+            outs.append(out)
+        state, _ = carry
+        (metrics_h, wps, budgets, actives, costs) = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs
         )
+        # trim the padding steps beyond the requested horizon
+        metrics_h = {k: v[:T] for k, v in metrics_h.items()}
+        wps, budgets = wps[:T], budgets[:T]
+        actives, costs = actives[:T], costs[:T]
         metrics_out = {
             k: np.concatenate(
                 [metrics0[k][:, None], np.asarray(metrics_h[k]).T], axis=1

@@ -72,6 +72,9 @@ class Tree(NamedTuple):
 def init_tree(
     num_sims: int, num_actions: int, n: int, m: int, dtype, edge_dtype=None
 ) -> Tree:
+    # capacity: root + ≤1 allocation per simulation + one DUMP slot
+    # (index c−1) that masked no-op scatters write to in _simulate_one —
+    # never allocated, never read
     c = num_sims + 2
     return Tree(
         parent=jnp.full((c,), NO_CHILD),
@@ -294,20 +297,25 @@ class ZeroMCTS:
             new_idx = tree.next_free
             child = jnp.where(need_new, new_idx, existing)
 
-            # allocate child node
-            def alloc(tr: Tree) -> Tree:
-                return tr._replace(
-                    parent=tr.parent.at[new_idx].set(c.node),
-                    action_in=tr.action_in.at[new_idx].set(a),
-                    reward_in=tr.reward_in.at[new_idx].set(reward),
-                    wc_in=tr.wc_in.at[new_idx].set(Wc.astype(tr.wc_in.dtype)),
-                    budget=tr.budget.at[new_idx].set(c.budget - cost),
-                    depth=tr.depth.at[new_idx].set(c.depth + 1),
-                    children=tr.children.at[c.node, a].set(new_idx),
-                    next_free=tr.next_free + 1,
-                )
-
-            tree = jax.lax.cond(need_new, alloc, lambda tr: tr, tree)
+            # Allocate child node with UNCONDITIONAL masked scatters
+            # instead of lax.cond: under vmap, cond lowers to select over
+            # BOTH branch results — a full copy of every tree array per
+            # descent step per mission.  Masked one-row scatters (dump
+            # slot C−1 when not allocating; init_tree reserves it) keep
+            # the tree buffers threaded in-place through the fori_loop.
+            dump = jnp.int32(tree.parent.shape[0] - 1)
+            w_idx = jnp.where(need_new, new_idx, dump)
+            child_entry = jnp.where(need_new, new_idx, existing)
+            tree = tree._replace(
+                parent=tree.parent.at[w_idx].set(c.node),
+                action_in=tree.action_in.at[w_idx].set(a),
+                reward_in=tree.reward_in.at[w_idx].set(reward),
+                wc_in=tree.wc_in.at[w_idx].set(Wc.astype(tree.wc_in.dtype)),
+                budget=tree.budget.at[w_idx].set(c.budget - cost),
+                depth=tree.depth.at[w_idx].set(c.depth + 1),
+                children=tree.children.at[c.node, a].set(child_entry),
+                next_free=tree.next_free + need_new.astype(jnp.int32),
+            )
 
             # move into child, subtract the edge factor from running P
             move = ~done
@@ -406,15 +414,16 @@ class ZeroMCTS:
         no_valid = jnp.sum(leaf_mask) == 0
         value_out = jnp.where(leaf_ok & ~no_valid, value, 0.0)
 
-        def write(tr: Tree) -> Tree:
-            return tr._replace(
-                prior=tr.prior.at[idx].set(p),
-                valid=tr.valid.at[idx].set(leaf_mask),
-                expanded=tr.expanded.at[idx].set(True),
-                Ns=tr.Ns.at[idx].set(0.0),
-            )
-
-        tree = jax.lax.cond(leaf_ok & ~no_valid, write, lambda tr: tr, tree)
+        # masked one-row scatters instead of cond (see _simulate_one)
+        ok = leaf_ok & ~no_valid
+        tree = tree._replace(
+            prior=tree.prior.at[idx].set(jnp.where(ok, p, tree.prior[idx])),
+            valid=tree.valid.at[idx].set(
+                jnp.where(ok, leaf_mask, tree.valid[idx])
+            ),
+            expanded=tree.expanded.at[idx].set(ok | tree.expanded[idx]),
+            Ns=tree.Ns.at[idx].set(jnp.where(ok, 0.0, tree.Ns[idx])),
+        )
         return tree, value_out
 
     def _backup(
@@ -444,14 +453,16 @@ class ZeroMCTS:
                 nsa > 0, (nsa * tree.Qsa[node, a] + G_new) / (nsa + 1.0), G_new
             )
 
-            def upd(tr: Tree) -> Tree:
-                return tr._replace(
-                    Qsa=tr.Qsa.at[node, a].set(q_new),
-                    Nsa=tr.Nsa.at[node, a].add(1.0),
-                    Ns=tr.Ns.at[node].add(1.0),
-                )
-
-            tree = jax.lax.cond(on_path, upd, lambda tr: tr, tree)
+            # masked scatters instead of cond (see _simulate_one): a
+            # zero .add and a rewrite-same-value .set are exact no-ops
+            on = on_path.astype(tree.Nsa.dtype)
+            tree = tree._replace(
+                Qsa=tree.Qsa.at[node, a].set(
+                    jnp.where(on_path, q_new, tree.Qsa[node, a])
+                ),
+                Nsa=tree.Nsa.at[node, a].add(on),
+                Ns=tree.Ns.at[node].add(on),
+            )
             return tree, jnp.where(on_path, G_new, G)
 
         tree, _ = jax.lax.fori_loop(0, Hc, body, (tree, leaf_value))

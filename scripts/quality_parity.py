@@ -324,6 +324,12 @@ def main():
             "cmaes_knobs": {k: str(v) for k, v in CMAES_KNOBS.items()},
             "note": "reference cma core substituted by scripts/_cma_stub.py "
             "(cma package unavailable; see its docstring)",
+            "note_mcts_rewards": "the reference MCTSMission masks rollout "
+            "rewards by compute_adaptive_msk(mean, 0.4, 0) even when "
+            "adaptive=False (mcts_mission.py:294-299); our classic MCTS "
+            "gates masking on scenario.adaptive, so non-adaptive rollout "
+            "rewards differ by that reference quirk (the adaptive run is "
+            "the exact-matched regime)",
         },
         "planners": {},
     }

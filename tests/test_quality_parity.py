@@ -1,0 +1,84 @@
+"""Regression guard on the committed quality-parity artifacts
+(runs/parity, runs/parity_adaptive — produced by
+scripts/quality_parity.py against the ACTUAL reference implementations
+on matched worlds; BASELINE.md's map-RMSE/uncertainty parity promise).
+
+Tolerances are deliberately loose: the planners are stochastic and the
+artifact records only 3 repetitions.  The assertions pin the ORDERING
+that makes the artifact evidence — our planners within (or better than)
+the reference's solution quality — so a regression that silently
+degrades a planner fails CI the next time the artifact is regenerated.
+"""
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(__file__)
+
+
+def _load(name):
+    path = os.path.join(HERE, "..", "runs", name, "parity.json")
+    if not os.path.exists(path):
+        pytest.skip(f"no committed parity artifact ({name})")
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def parity():
+    return _load("parity")
+
+
+@pytest.fixture(scope="module")
+def parity_adaptive():
+    return _load("parity_adaptive")
+
+
+@pytest.mark.parametrize("planner", ["greedy", "mcts", "cmaes"])
+def test_rmse_parity_non_adaptive(parity, planner):
+    e = parity["planners"][planner]
+    ours, ref = e["ours"]["rmse_final"][0], e["reference"]["rmse_final"][0]
+    assert ours <= ref * 1.25 + 0.01, f"{planner}: rmse {ours:.3f} vs ref {ref:.3f}"
+
+
+@pytest.mark.parametrize("planner", ["greedy", "mcts", "cmaes"])
+def test_uncertainty_parity_non_adaptive(parity, planner):
+    e = parity["planners"][planner]
+    ours = e["ours"]["uncertainty_final"][0]
+    ref = e["reference"]["uncertainty_final"][0]
+    assert ours <= ref * 1.35 + 1.0, f"{planner}: tr(P) {ours:.2f} vs ref {ref:.2f}"
+
+
+def test_greedy_cov_path_exact(parity):
+    """Greedy is deterministic given the world: the covariance path must
+    match the reference to float precision (same actions)."""
+    e = parity["planners"]["greedy"]
+    ours = e["ours"]["uncertainty_final"][0]
+    ref = e["reference"]["uncertainty_final"][0]
+    assert abs(ours - ref) < 1e-3, f"greedy tr(P) {ours} != ref {ref}"
+
+
+@pytest.mark.parametrize("planner", ["greedy", "mcts", "cmaes"])
+def test_parity_adaptive_regime(parity_adaptive, planner):
+    e = parity_adaptive["planners"][planner]
+    ours, ref = e["ours"]["rmse_final"][0], e["reference"]["rmse_final"][0]
+    assert ours <= ref * 1.25 + 0.01, f"{planner}: rmse {ours:.3f} vs ref {ref:.3f}"
+    ours_u = e["ours"]["uncertainty_final"][0]
+    ref_u = e["reference"]["uncertainty_final"][0]
+    assert ours_u <= ref_u * 1.35 + 1.0, (
+        f"{planner}: tr(P) {ours_u:.2f} vs ref {ref_u:.2f}"
+    )
+
+
+def test_zero_quality_adaptive(parity_adaptive):
+    """The trained zero checkpoint (canonical 100 sims) must at least
+    stay in the family: final RMSE within 2x of the reference greedy's
+    and clear uncertainty reduction from the prior (~115 masked)."""
+    if "zero" not in parity_adaptive["planners"]:
+        pytest.skip("zero not in artifact")
+    z = parity_adaptive["planners"]["zero"]["ours"]
+    g = parity_adaptive["planners"]["greedy"]["reference"]
+    assert z["rmse_final"][0] <= g["rmse_final"][0] * 2.0 + 0.02
+    assert z["uncertainty_final"][0] < 60.0

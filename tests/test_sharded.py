@@ -244,3 +244,34 @@ def test_large_grid_sharded_greedy_mission(mesh):
     )
     # the mission actually learned something
     assert sharded["uncertainty"][-1] < sharded["uncertainty"][0]
+
+
+@pytest.mark.slow
+def test_dp_sharded_cmaes_8192_shape(small_cfg):
+    """BASELINE config #5's 8192-mission shape, dp-sharded over the
+    virtual 8-device mesh: one adaptive CMA-ES replan step executes with
+    the mission axis partitioned (reduced pop/iters keep the CPU run
+    tractable; the partitioned SHAPE is the thing under test)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.parallel.mesh import make_mesh, shard_batch
+    from ipp_rl_tpu.planners import CMAESPlanner
+
+    mesh = make_mesh(n_devices=8, dp=8, mp=1)
+    world = IPPWorld(small_cfg, dtype=jnp.float32)
+    mc = MissionConfig(
+        type="cmaes", episode_horizon=2, cma_popsize=4, cma_maxiter=2
+    )
+    planner = CMAESPlanner(world, mc)
+    B = 8192
+    state = shard_batch(mesh, world.init_state(jax.random.key(0), B))
+    res = planner.run(jax.random.key(1), B, max_steps=1, init_state=state)
+    assert res.metrics["uncertainty"].shape[0] == B
+    # every mission took its replanned step and improved
+    assert (res.num_steps >= 1).all()
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()

@@ -186,7 +186,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the headline alive
             detail["zero_search"] = {"error": repr(e)[:200]}
         try:
-            detail["train_step"] = _measure_train_detail(steps=20, repeats=3)
+            detail["train_step"] = _measure_train_detail(steps=100, repeats=3)
         except Exception as e:  # noqa: BLE001
             detail["train_step"] = {"error": repr(e)[:200]}
 
@@ -301,6 +301,14 @@ def _measure_train_detail(steps, repeats):
         weight=jnp.ones((B,), jnp.float32),
     )
     lr = jnp.float32(onecycle_lr(hp, 0, 100))
+
+    # async-dispatched python loop (the same methodology as
+    # `--mode train`, which measures 722 steps/s solo).  A fori_loop
+    # single-dispatch variant measures ~2.5x slower device time (the
+    # while-loop body loses cross-step overlap), and a static-trip scan
+    # with the fwd+bwd body hangs the remote compiler — so the loop
+    # stays on the host; the driver runs bench solo, where async
+    # dispatch pipelines it fully.
     state, _, _ = step(state, batch, jax.random.key(2), lr)
     jax.block_until_ready(state.params)
     times = []

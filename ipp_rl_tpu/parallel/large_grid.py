@@ -56,15 +56,12 @@ def sharded_greedy_mission(
     pos = state.pos[0]
     budget = state.budget[0]
 
-    actions, uncs, rmses = [], [], []
-
-    def record():
-        uncs.append(float(jnp.trace(P)))
-        rmses.append(float(jnp.sqrt(jnp.mean(jnp.square(gt - mean)))))
-
-    record()
-    for step in range(max_steps):
-        mask = None
+    # jit-wrapped ONCE per mission: sharded_kf_update/sharded_sweep_gains
+    # construct a fresh shard_map per call, so calling them eagerly every
+    # step would re-trace + re-compile the O(A·N²) programs each time
+    @jax.jit
+    def plan(P, mean, pos, budget):
+        mask = jnp.ones((P.shape[0],), P.dtype)
         if cfg.scenario.adaptive:
             mask = adaptive_mask(
                 mean, jnp.diag(P), cfg.scenario.value_threshold,
@@ -75,9 +72,24 @@ def sharded_greedy_mission(
         rewards = reward_from_gain(gains, costs)
         ok = (costs > 0) & (costs <= budget)
         scored = jnp.where(ok, rewards, -jnp.inf)
-        if not bool(jnp.any(ok)):
+        return jnp.argmax(scored), jnp.any(ok), costs
+
+    @jax.jit
+    def commit(P, mean, H, R, z):
+        return sharded_kf_update(mesh, P, mean, H, R, z)
+
+    actions, uncs, rmses = [], [], []
+
+    def record():
+        uncs.append(float(jnp.trace(P)))
+        rmses.append(float(jnp.sqrt(jnp.mean(jnp.square(gt - mean)))))
+
+    record()
+    for step in range(max_steps):
+        a_dev, any_ok, costs = plan(P, mean, pos, budget)
+        if not bool(any_ok):
             break
-        a = int(jnp.argmax(scored))
+        a = int(a_dev)
 
         # same measurement-noise stream as world.step_index (exact-match
         # testing): one split per mission of the per-step key
@@ -86,9 +98,7 @@ def sharded_greedy_mission(
         z = world.synthesize_measurement(
             gt, world.Z[a], world.noise_std[a], k_meas
         )
-        mean, P = sharded_kf_update(
-            mesh, P, mean, world.H[a], world.R_diag[a], z
-        )
+        mean, P = commit(P, mean, world.H[a], world.R_diag[a], z)
         budget = budget - costs[a]
         pos = world.actions_xyz[a]
         actions.append(a)
@@ -122,6 +132,26 @@ def dense_greedy_mission(
     gt = state.ground_truth[0]
     pos = state.pos[0]
     budget = state.budget[0]
+
+    @jax.jit
+    def plan(P, mean, pos, budget):
+        mask = jnp.ones((P.shape[0],), P.dtype)
+        if cfg.scenario.adaptive:
+            mask = adaptive_mask(
+                mean, jnp.diag(P), cfg.scenario.value_threshold,
+                cfg.scenario.interval_factor,
+            )
+        gains = kf_sweep_gains(P, world.H, world.R_diag, mask)
+        costs = action_costs_from(world, pos)
+        rewards = reward_from_gain(gains, costs)
+        ok = (costs > 0) & (costs <= budget)
+        scored = jnp.where(ok, rewards, -jnp.inf)
+        return jnp.argmax(scored), jnp.any(ok), costs
+
+    commit = jax.jit(
+        lambda P, mean, H, R, z: kf_update(P, mean, H, R, z)
+    )
+
     actions, uncs, rmses = [], [], []
 
     def record():
@@ -130,27 +160,14 @@ def dense_greedy_mission(
 
     record()
     for step in range(max_steps):
-        mask = None
-        if cfg.scenario.adaptive:
-            mask = adaptive_mask(
-                mean, jnp.diag(P), cfg.scenario.value_threshold,
-                cfg.scenario.interval_factor,
-            )
-        gains = kf_sweep_gains(
-            P, world.H, world.R_diag,
-            mask if mask is not None else jnp.ones(P.shape[0], P.dtype),
-        )
-        costs = action_costs_from(world, pos)
-        rewards = reward_from_gain(gains, costs)
-        ok = (costs > 0) & (costs <= budget)
-        scored = jnp.where(ok, rewards, -jnp.inf)
-        if not bool(jnp.any(ok)):
+        a_dev, any_ok, costs = plan(P, mean, pos, budget)
+        if not bool(any_ok):
             break
-        a = int(jnp.argmax(scored))
+        a = int(a_dev)
         k_step = jax.random.fold_in(key, step)
         k_meas = jax.random.split(k_step, 1)[0]
         z = world.synthesize_measurement(gt, world.Z[a], world.noise_std[a], k_meas)
-        mean, P = kf_update(P, mean, world.H[a], world.R_diag[a], z)
+        mean, P = commit(P, mean, world.H[a], world.R_diag[a], z)
         budget = budget - costs[a]
         pos = world.actions_xyz[a]
         actions.append(a)

@@ -232,8 +232,8 @@ def test_large_grid_sharded_greedy_mission(mesh):
     assert world.H.shape[0] == 800 and cfg.environment.num_cells == 400
 
     key = jax.random.key(3)
-    sharded = sharded_greedy_mission(mesh, world, key, max_steps=6)
-    dense = dense_greedy_mission(world, key, max_steps=6)
+    sharded = sharded_greedy_mission(mesh, world, key, max_steps=4)
+    dense = dense_greedy_mission(world, key, max_steps=4)
 
     np.testing.assert_array_equal(sharded["actions"], dense["actions"])
     np.testing.assert_allclose(

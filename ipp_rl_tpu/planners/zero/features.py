@@ -182,7 +182,10 @@ def feature_planes(
         cur = history.positions[0].at[2].set(con.min_altitude)
         cells = world.actions_xyz[: env.num_cells].at[:, 2].set(con.min_altitude)
         costs = travel_costs(cells, cur[None, :], cfg.uav.max_v, cfg.uav.max_a)
-        plane = _min_max_normalize(costs)[:, None] * jnp.ones((n, n), dt)
+        # cast: actions_xyz is f32, so costs may be wider than the plane
+        # dtype (e.g. bf16 inference planes) — don't let the concat below
+        # promote every channel back to f32
+        plane = _min_max_normalize(costs).astype(dt)[:, None] * jnp.ones((n, n), dt)
         planes = jnp.concatenate([planes, plane[None]], axis=0)
 
     return jnp.moveaxis(planes, 0, -1)  # NHWC (N, N, C)

@@ -242,12 +242,13 @@ class ZeroMCTS:
             budget: jnp.ndarray
             prev_pos: jnp.ndarray  # (3,)
             depth: jnp.ndarray
-            hist: EpisodeHistory
             done: jnp.ndarray  # stop descending
             leaf: jnp.ndarray  # node to NN-evaluate (-1 = terminal)
             path_nodes: jnp.ndarray  # (Hc,)
             path_actions: jnp.ndarray  # (Hc,)
             path_rewards: jnp.ndarray  # (Hc,)
+            path_covs: jnp.ndarray  # (Hc, N, N) — P after each move
+            path_bfr: jnp.ndarray  # (Hc,) — budget fraction after each move
             path_len: jnp.ndarray
             key: jax.Array
 
@@ -256,6 +257,11 @@ class ZeroMCTS:
             hist0, P_root, root_pos, init_budget / jnp.asarray(cfg.constraints.budget, dt)
         )
 
+        # The leaf's history ring is NOT carried through the descent loop
+        # (rewriting the (L, N, N) ring + its select every iteration was
+        # ~60% of the whole search's HBM traffic); instead each move
+        # writes one P snapshot into path_covs and the ring is assembled
+        # from (path, hist_root) after the loop.
         carry = Carry(
             tree=tree,
             node=jnp.int32(0),
@@ -263,12 +269,13 @@ class ZeroMCTS:
             budget=init_budget,
             prev_pos=root_pos,
             depth=jnp.int32(0),
-            hist=hist_root,
             done=jnp.bool_(False),
             leaf=jnp.int32(-1),
             path_nodes=jnp.full((Hc,), NO_CHILD),
             path_actions=jnp.full((Hc,), ROOT_ACTION),
             path_rewards=jnp.zeros((Hc,), dt),
+            path_covs=jnp.zeros((Hc, P_root.shape[0], P_root.shape[0]), dt),
+            path_bfr=jnp.zeros((Hc,), dt),
             path_len=jnp.int32(0),
             key=key,
         )
@@ -322,16 +329,6 @@ class ZeroMCTS:
             w = tree.wc_in[child].astype(c.P.dtype)
             P_next = jnp.where(move, c.P - w @ w.T, c.P)
             budget_next = jnp.where(move, tree.budget[child], c.budget)
-            hist_next = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(move, new, old),
-                push_history(
-                    c.hist,
-                    P_next,
-                    self.world.actions_xyz[a],
-                    budget_next / jnp.asarray(cfg.constraints.budget, dt),
-                ),
-                c.hist,
-            )
 
             return Carry(
                 tree=tree,
@@ -340,7 +337,6 @@ class ZeroMCTS:
                 budget=budget_next,
                 prev_pos=jnp.where(move, self.world.actions_xyz[a], c.prev_pos),
                 depth=jnp.where(move, c.depth + 1, c.depth),
-                hist=hist_next,
                 done=done,
                 leaf=leaf,
                 path_nodes=c.path_nodes.at[i].set(jnp.where(move, c.node, NO_CHILD)),
@@ -348,11 +344,54 @@ class ZeroMCTS:
                 path_rewards=c.path_rewards.at[i].set(
                     jnp.where(move, tree.reward_in[child], 0.0)
                 ),
+                # P_next already equals c.P when not moving; slots ≥
+                # path_len are never read by the ring assembly below
+                path_covs=c.path_covs.at[i].set(P_next),
+                path_bfr=c.path_bfr.at[i].set(
+                    budget_next / jnp.asarray(cfg.constraints.budget, dt)
+                ),
                 path_len=jnp.where(move, c.path_len + 1, c.path_len),
                 key=k_next,
             )
 
         carry = jax.lax.fori_loop(0, Hc, step, carry)
+
+        # assemble the leaf's history ring from the path snapshots + the
+        # root-pushed episode history: ring[j] = j-th most recent snapshot
+        # = path entry (plen−1−j), falling back to hist_root[j − plen]
+        L = self.L
+        plen = carry.path_len
+        js = jnp.arange(L)
+        kk = plen - 1 - js  # (L,)
+        on_path = kk >= 0
+        p_sel = jnp.maximum(kk, 0)
+        h_sel = jnp.clip(js - plen, 0, L - 1)
+        path_pos = self.world.actions_xyz[
+            jnp.maximum(carry.path_actions[p_sel], 0)
+        ]
+        hist_leaf = EpisodeHistory(
+            covs=jnp.where(
+                on_path[:, None, None],
+                carry.path_covs[p_sel],
+                hist_root.covs[h_sel],
+            ),
+            positions=jnp.where(
+                on_path[:, None], path_pos, hist_root.positions[h_sel]
+            ),
+            budgets=jnp.where(on_path, carry.path_bfr[p_sel], hist_root.budgets[h_sel]),
+            length=jnp.minimum(hist_root.length + plen, L),
+        )
+        # leaf planes are inference-only: materialize the ring at the
+        # inference dtype (e.g. bf16) so the (B, L, N, N) buffer and the
+        # plane build are half-width end to end
+        infer_dt = getattr(self.predict, "infer_dtype", None)
+        if infer_dt is not None:
+            hist_leaf = EpisodeHistory(
+                covs=hist_leaf.covs.astype(infer_dt),
+                positions=hist_leaf.positions.astype(infer_dt),
+                budgets=hist_leaf.budgets.astype(infer_dt),
+                length=hist_leaf.length,
+            )
 
         # leaf evaluation inputs: the history ring is returned instead of
         # materialized planes — the (B, N, N, C) plane build + CNN forward
@@ -373,7 +412,7 @@ class ZeroMCTS:
             carry.path_rewards,
             carry.path_len,
             carry.leaf,
-            carry.hist,
+            hist_leaf,
             leaf_mask,
             leaf_pos,
         )
@@ -386,24 +425,24 @@ class ZeroMCTS:
         value: jnp.ndarray,
         leaf_mask: jnp.ndarray,
         is_root_first: jnp.ndarray,
-        dirichlet_alpha: jnp.ndarray,
-        key: jax.Array,
+        noise: jnp.ndarray,
     ) -> Tuple[Tree, jnp.ndarray]:
         """Store the network prior/valid mask at the leaf (reference
-        mcts.py:185-233), adding Dirichlet noise at the root's first
-        evaluation (:160-164, 221-222)."""
+        mcts.py:185-233), adding precomputed Dirichlet noise at the
+        root's first evaluation (:160-164, 221-222).
+
+        ``noise`` is drawn ONCE per search in ``search`` (from the
+        sim-0 keys, so the applied values are unchanged): root noise is
+        only ever used at the first root evaluation, and drawing B×A
+        gamma rejections per simulation inside the loop was measurable
+        per-sim cost."""
         hp = self.hp
         dt = tree.prior.dtype
         leaf_ok = leaf >= 0
         idx = jnp.maximum(leaf, 0)
 
-        # pin dtype: jax.random.dirichlet defaults to float64 under x64,
-        # which would poison the f32 tree arrays at the scatter below
         p = policy.astype(dt) * leaf_mask.astype(dt)
-        noise = jax.random.dirichlet(
-            key, jnp.full((self.A,), dirichlet_alpha, dt), dtype=dt
-        )
-        p_noised = (1.0 - hp.dirichlet_eps) * p + hp.dirichlet_eps * noise
+        p_noised = (1.0 - hp.dirichlet_eps) * p + hp.dirichlet_eps * noise.astype(dt)
         p = jnp.where(is_root_first & leaf_ok, p_noised * leaf_mask.astype(dt), p)
         s = jnp.sum(p)
         # degenerate-policy repair (reference mcts.py:224-229)
@@ -526,6 +565,10 @@ class ZeroMCTS:
             hang (see CLAUDE.md)."""
 
             def fwd(h, lm, mn):
+                if infer_dt is not None:
+                    # keep every plane-build operand at the inference
+                    # dtype so no op silently promotes back to f32
+                    mn = mn.astype(infer_dt)
                 planes = jax.vmap(
                     lambda hh, m: feature_planes(self.world, self.hp, hh, mean=m)
                 )(h, mn)
@@ -558,12 +601,22 @@ class ZeroMCTS:
                 0, jnp.asarray(B // G, jnp.int32), chunk_body, out0
             )
 
+        # Dirichlet root noise: only the FIRST root evaluation (sim 0)
+        # ever applies it, so draw it once here with sim-0's noise keys
+        # — the applied values are identical to the former in-loop draw
+        k0_sel, k0_noise = jax.random.split(jax.random.fold_in(key, 0))
+        noise_keys0 = jax.random.split(k0_noise, B)
+        root_noise = jax.vmap(
+            lambda kk: jax.random.dirichlet(
+                kk, jnp.full((self.A,), d_alpha, dt), dtype=dt
+            )
+        )(noise_keys0)
+
         def sim_step(i, carry):
             tree, first = carry
             k = jax.random.fold_in(key, i)
-            k_sel, k_noise = jax.random.split(k)
+            k_sel, _ = jax.random.split(k)
             sel_keys = jax.random.split(k_sel, B)
-            noise_keys = jax.random.split(k_noise, B)
 
             (tree, p_nodes, p_actions, p_rewards, p_len, leaf, hist_leaf, leaf_mask, _) = (
                 jax.vmap(
@@ -575,10 +628,10 @@ class ZeroMCTS:
             policy, value = eval_leaves(hist_leaf, leaf_mask)
             is_root_first = first & (leaf == 0)
             tree, leaf_value = jax.vmap(
-                lambda tr, lf, po, va, lm, rf, kk: self._integrate_eval(
-                    tr, lf, po, va, lm, rf, d_alpha, kk
+                lambda tr, lf, po, va, lm, rf, nz: self._integrate_eval(
+                    tr, lf, po, va, lm, rf, nz
                 )
-            )(tree, leaf, policy, value, leaf_mask, is_root_first, noise_keys)
+            )(tree, leaf, policy, value, leaf_mask, is_root_first, root_noise)
             tree = jax.vmap(self._backup)(
                 tree, p_nodes, p_actions, p_rewards, p_len, leaf_value
             )

@@ -82,3 +82,32 @@ def test_zero_quality_adaptive(parity_adaptive):
     g = parity_adaptive["planners"]["greedy"]["reference"]
     assert z["rmse_final"][0] <= g["rmse_final"][0] * 2.0 + 0.02
     assert z["uncertainty_final"][0] < 60.0
+
+
+@pytest.fixture(scope="module")
+def parity_b200():
+    return _load("parity_b200")
+
+
+@pytest.mark.parametrize("planner", ["greedy", "mcts", "cmaes"])
+def test_parity_canonical_budget(parity_b200, planner):
+    """Budget-200 adaptive (the canonical operating point)."""
+    e = parity_b200["planners"][planner]
+    ours, ref = e["ours"]["rmse_final"][0], e["reference"]["rmse_final"][0]
+    assert ours <= ref * 1.25 + 0.01, f"{planner}: rmse {ours:.3f} vs ref {ref:.3f}"
+    ours_u = e["ours"]["uncertainty_final"][0]
+    ref_u = e["reference"]["uncertainty_final"][0]
+    assert ours_u <= ref_u * 1.35 + 1.0, (
+        f"{planner}: tr(P) {ours_u:.2f} vs ref {ref_u:.2f}"
+    )
+
+
+def test_zero_quality_canonical_budget(parity_b200):
+    """Trained zero at its training budget (200): mid-family quality —
+    masked tr(P) within ~2x of the reference classic MCTS and RMSE
+    within 2x of reference greedy."""
+    z = parity_b200["planners"]["zero"]["ours"]
+    m = parity_b200["planners"]["mcts"]["reference"]
+    g = parity_b200["planners"]["greedy"]["reference"]
+    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 2.0 + 2.0
+    assert z["rmse_final"][0] <= g["rmse_final"][0] * 2.0 + 0.01

@@ -94,6 +94,26 @@ def init_tree(
     )
 
 
+class DescentCarry(NamedTuple):
+    """Per-mission descent state (see ZeroMCTS._descend_step)."""
+
+    tree: Tree
+    node: jnp.ndarray
+    P: jnp.ndarray
+    budget: jnp.ndarray
+    prev_pos: jnp.ndarray  # (3,)
+    depth: jnp.ndarray
+    done: jnp.ndarray  # stop descending
+    leaf: jnp.ndarray  # node to NN-evaluate (-1 = terminal)
+    path_nodes: jnp.ndarray  # (Hc,)
+    path_actions: jnp.ndarray  # (Hc,)
+    path_rewards: jnp.ndarray  # (Hc,)
+    path_covs: jnp.ndarray  # (Hc, N, N) — P after each move
+    path_bfr: jnp.ndarray  # (Hc,) — budget fraction after each move
+    path_len: jnp.ndarray
+    key: jax.Array
+
+
 def normalize_q(values: jnp.ndarray) -> jnp.ndarray:
     """Min-max normalization with the reference's degenerate-case rules
     (reference mcts.py:267-278): all-zero → zeros; min==max → v/max."""
@@ -207,62 +227,34 @@ class ZeroMCTS:
         return jnp.where(tree.valid[node], uct, -jnp.inf)
 
     # ------------------------------------------------------------ simulation
+    #
+    # The descent is structured as init / step / leaf-output pieces so the
+    # batched search can run the step under ONE while_loop placed OUTSIDE
+    # the vmap: the loop exits as soon as every mission's path hit a leaf
+    # (typical depth 1–3 of the Hc bound), and because the step body is
+    # already fully masked for done lanes, no automatic while-batching
+    # carry-select is introduced.
 
-    def _simulate_one(
+    def _descend_init(
         self,
         tree: Tree,
         P_root: jnp.ndarray,
         root_pos: jnp.ndarray,
-        mean_root: jnp.ndarray,
-        hist0: EpisodeHistory,
-        puct_init: jnp.ndarray,
         key: jax.Array,
     ):
-        """Selection + expansion for ONE mission (no NN eval — planes are
-        returned for the batched forward).  Returns updated tree, the path,
-        and the leaf's feature planes/mask."""
-        cfg = self.world.cfg
+        """Per-mission descent state (the root-pushed history ring is
+        search-invariant and computed once in ``search``)."""
         dt = tree.Qsa.dtype
         Hc = self.horizon + 1  # max path edges
-        diag_mask = None
-        if cfg.scenario.adaptive:
-            # adaptive mask vs ROOT mean/state (constant during search,
-            # reference mcts.py:73-81 get_adaptive_info)
-            diag_mask = adaptive_mask(
-                mean_root,
-                jnp.diag(P_root),
-                cfg.scenario.value_threshold,
-                cfg.scenario.interval_factor,
-            )
-
-        class Carry(NamedTuple):
-            tree: Tree
-            node: jnp.ndarray
-            P: jnp.ndarray
-            budget: jnp.ndarray
-            prev_pos: jnp.ndarray  # (3,)
-            depth: jnp.ndarray
-            done: jnp.ndarray  # stop descending
-            leaf: jnp.ndarray  # node to NN-evaluate (-1 = terminal)
-            path_nodes: jnp.ndarray  # (Hc,)
-            path_actions: jnp.ndarray  # (Hc,)
-            path_rewards: jnp.ndarray  # (Hc,)
-            path_covs: jnp.ndarray  # (Hc, N, N) — P after each move
-            path_bfr: jnp.ndarray  # (Hc,) — budget fraction after each move
-            path_len: jnp.ndarray
-            key: jax.Array
 
         init_budget = tree.budget[0]
-        hist_root = push_history(
-            hist0, P_root, root_pos, init_budget / jnp.asarray(cfg.constraints.budget, dt)
-        )
 
         # The leaf's history ring is NOT carried through the descent loop
         # (rewriting the (L, N, N) ring + its select every iteration was
         # ~60% of the whole search's HBM traffic); instead each move
         # writes one P snapshot into path_covs and the ring is assembled
         # from (path, hist_root) after the loop.
-        carry = Carry(
+        carry = DescentCarry(
             tree=tree,
             node=jnp.int32(0),
             P=P_root,
@@ -279,86 +271,89 @@ class ZeroMCTS:
             path_len=jnp.int32(0),
             key=key,
         )
+        return carry
 
-        def step(i, c: Carry) -> Carry:
-            tree = c.tree
-            # terminal: past horizon or out of budget
-            terminal = (c.depth > self.horizon) | (c.budget <= 0)
-            # unexpanded node → this is the NN leaf
-            is_leaf = ~tree.expanded[c.node] & ~terminal
-            newly_done = ~c.done & (terminal | is_leaf)
-            leaf = jnp.where(newly_done & is_leaf, c.node, c.leaf)
-            done = c.done | terminal | is_leaf
+    def _descend_step(self, i, c, diag_mask, puct_init):
+        """One per-mission descent iteration (fully masked when done)."""
+        cfg = self.world.cfg
+        dt = c.tree.Qsa.dtype
+        tree = c.tree
+        # terminal: past horizon or out of budget
+        terminal = (c.depth > self.horizon) | (c.budget <= 0)
+        # unexpanded node → this is the NN leaf
+        is_leaf = ~tree.expanded[c.node] & ~terminal
+        newly_done = ~c.done & (terminal | is_leaf)
+        leaf = jnp.where(newly_done & is_leaf, c.node, c.leaf)
+        done = c.done | terminal | is_leaf
 
-            k_sel, k_next = jax.random.split(c.key)
-            uct = self.puct(tree, c.node, puct_init, force=(c.depth == 0))
-            a = _rand_argmax(k_sel, uct)
+        k_sel, k_next = jax.random.split(c.key)
+        uct = self.puct(tree, c.node, puct_init, force=(c.depth == 0))
+        a = _rand_argmax(k_sel, uct)
 
-            # edge dynamics (discarded when done — masked below)
-            Wc, gain = self.edge_update(c.P, a, diag_mask)
-            cost = _flight_cost(self.world, c.prev_pos, a).astype(dt)
-            reward = gain / (cost + 1.0)
+        # edge dynamics (discarded when done — masked below)
+        Wc, gain = self.edge_update(c.P, a, diag_mask)
+        cost = _flight_cost(self.world, c.prev_pos, a).astype(dt)
+        reward = gain / (cost + 1.0)
 
-            existing = tree.children[c.node, a]
-            need_new = (existing == NO_CHILD) & ~done
-            new_idx = tree.next_free
-            child = jnp.where(need_new, new_idx, existing)
+        existing = tree.children[c.node, a]
+        need_new = (existing == NO_CHILD) & ~done
+        new_idx = tree.next_free
+        child = jnp.where(need_new, new_idx, existing)
 
-            # Allocate child node with UNCONDITIONAL masked scatters
-            # instead of lax.cond: under vmap, cond lowers to select over
-            # BOTH branch results — a full copy of every tree array per
-            # descent step per mission.  Masked one-row scatters (dump
-            # slot C−1 when not allocating; init_tree reserves it) keep
-            # the tree buffers threaded in-place through the fori_loop.
-            dump = jnp.int32(tree.parent.shape[0] - 1)
-            w_idx = jnp.where(need_new, new_idx, dump)
-            child_entry = jnp.where(need_new, new_idx, existing)
-            tree = tree._replace(
-                parent=tree.parent.at[w_idx].set(c.node),
-                action_in=tree.action_in.at[w_idx].set(a),
-                reward_in=tree.reward_in.at[w_idx].set(reward),
-                wc_in=tree.wc_in.at[w_idx].set(Wc.astype(tree.wc_in.dtype)),
-                budget=tree.budget.at[w_idx].set(c.budget - cost),
-                depth=tree.depth.at[w_idx].set(c.depth + 1),
-                children=tree.children.at[c.node, a].set(child_entry),
-                next_free=tree.next_free + need_new.astype(jnp.int32),
-            )
+        # Allocate child node with UNCONDITIONAL masked scatters
+        # instead of lax.cond: under vmap, cond lowers to select over
+        # BOTH branch results — a full copy of every tree array per
+        # descent step per mission.  Masked one-row scatters (dump
+        # slot C−1 when not allocating; init_tree reserves it) keep
+        # the tree buffers threaded in-place through the fori_loop.
+        dump = jnp.int32(tree.parent.shape[0] - 1)
+        w_idx = jnp.where(need_new, new_idx, dump)
+        child_entry = jnp.where(need_new, new_idx, existing)
+        tree = tree._replace(
+            parent=tree.parent.at[w_idx].set(c.node),
+            action_in=tree.action_in.at[w_idx].set(a),
+            reward_in=tree.reward_in.at[w_idx].set(reward),
+            wc_in=tree.wc_in.at[w_idx].set(Wc.astype(tree.wc_in.dtype)),
+            budget=tree.budget.at[w_idx].set(c.budget - cost),
+            depth=tree.depth.at[w_idx].set(c.depth + 1),
+            children=tree.children.at[c.node, a].set(child_entry),
+            next_free=tree.next_free + need_new.astype(jnp.int32),
+        )
 
-            # move into child, subtract the edge factor from running P
-            move = ~done
-            w = tree.wc_in[child].astype(c.P.dtype)
-            P_next = jnp.where(move, c.P - w @ w.T, c.P)
-            budget_next = jnp.where(move, tree.budget[child], c.budget)
+        # move into child, subtract the edge factor from running P
+        move = ~done
+        w = tree.wc_in[child].astype(c.P.dtype)
+        P_next = jnp.where(move, c.P - w @ w.T, c.P)
+        budget_next = jnp.where(move, tree.budget[child], c.budget)
 
-            return Carry(
-                tree=tree,
-                node=jnp.where(move, child, c.node),
-                P=P_next,
-                budget=budget_next,
-                prev_pos=jnp.where(move, self.world.actions_xyz[a], c.prev_pos),
-                depth=jnp.where(move, c.depth + 1, c.depth),
-                done=done,
-                leaf=leaf,
-                path_nodes=c.path_nodes.at[i].set(jnp.where(move, c.node, NO_CHILD)),
-                path_actions=c.path_actions.at[i].set(jnp.where(move, a, ROOT_ACTION)),
-                path_rewards=c.path_rewards.at[i].set(
-                    jnp.where(move, tree.reward_in[child], 0.0)
-                ),
-                # P_next already equals c.P when not moving; slots ≥
-                # path_len are never read by the ring assembly below
-                path_covs=c.path_covs.at[i].set(P_next),
-                path_bfr=c.path_bfr.at[i].set(
-                    budget_next / jnp.asarray(cfg.constraints.budget, dt)
-                ),
-                path_len=jnp.where(move, c.path_len + 1, c.path_len),
-                key=k_next,
-            )
+        return DescentCarry(
+            tree=tree,
+            node=jnp.where(move, child, c.node),
+            P=P_next,
+            budget=budget_next,
+            prev_pos=jnp.where(move, self.world.actions_xyz[a], c.prev_pos),
+            depth=jnp.where(move, c.depth + 1, c.depth),
+            done=done,
+            leaf=leaf,
+            path_nodes=c.path_nodes.at[i].set(jnp.where(move, c.node, NO_CHILD)),
+            path_actions=c.path_actions.at[i].set(jnp.where(move, a, ROOT_ACTION)),
+            path_rewards=c.path_rewards.at[i].set(
+                jnp.where(move, tree.reward_in[child], 0.0)
+            ),
+            # P_next already equals c.P when not moving; slots ≥
+            # path_len are never read by the ring assembly below
+            path_covs=c.path_covs.at[i].set(P_next),
+            path_bfr=c.path_bfr.at[i].set(
+                budget_next / jnp.asarray(cfg.constraints.budget, dt)
+            ),
+            path_len=jnp.where(move, c.path_len + 1, c.path_len),
+            key=k_next,
+        )
 
-        carry = jax.lax.fori_loop(0, Hc, step, carry)
-
-        # assemble the leaf's history ring from the path snapshots + the
-        # root-pushed episode history: ring[j] = j-th most recent snapshot
-        # = path entry (plen−1−j), falling back to hist_root[j − plen]
+    def _leaf_outputs(self, carry, hist_root, root_pos):
+        """Assemble the leaf's history ring from the path snapshots + the
+        root-pushed episode history: ring[j] = j-th most recent snapshot
+        = path entry (plen−1−j), falling back to hist_root[j − plen]."""
         L = self.L
         plen = carry.path_len
         js = jnp.arange(L)
@@ -405,17 +400,7 @@ class ZeroMCTS:
             root_pos,
         )
         leaf_mask = self.valid_actions(leaf_pos, carry.budget)
-        return (
-            carry.tree,
-            carry.path_nodes,
-            carry.path_actions,
-            carry.path_rewards,
-            carry.path_len,
-            carry.leaf,
-            hist_leaf,
-            leaf_mask,
-            leaf_pos,
-        )
+        return hist_leaf, leaf_mask, leaf_pos
 
     def _integrate_eval(
         self,
@@ -612,19 +597,67 @@ class ZeroMCTS:
             )
         )(noise_keys0)
 
+        # the root-pushed history ring is the same for every simulation:
+        # push it once (the former per-sim push was (L, N, N) of traffic
+        # per mission per simulation)
+        hist_root = jax.vmap(
+            lambda h, P, ps, bg: push_history(
+                h, P, ps, bg / jnp.asarray(self.world.cfg.constraints.budget, dt)
+            )
+        )(history, cov, pos, budget)
+
+        # adaptive mask vs ROOT mean/state: constant across the whole
+        # search (reference mcts.py:73-81 get_adaptive_info)
+        if self.world.cfg.scenario.adaptive:
+            scen = self.world.cfg.scenario
+            dmask = jax.vmap(
+                lambda mn, P: adaptive_mask(
+                    mn, jnp.diag(P), scen.value_threshold, scen.interval_factor
+                )
+            )(mean, cov)
+        else:
+            dmask = None
+
+        Hc = self.horizon + 1
+
         def sim_step(i, carry):
             tree, first = carry
             k = jax.random.fold_in(key, i)
             k_sel, _ = jax.random.split(k)
             sel_keys = jax.random.split(k_sel, B)
 
-            (tree, p_nodes, p_actions, p_rewards, p_len, leaf, hist_leaf, leaf_mask, _) = (
-                jax.vmap(
-                    lambda tr, P, ps, mn, h, kk: self._simulate_one(
-                        tr, P, ps, mn, h, p_init, kk
-                    )
-                )(tree, cov, pos, mean, history, sel_keys)
-            )
+            dc = jax.vmap(
+                lambda tr, P, ps, kk: self._descend_init(tr, P, ps, kk)
+            )(tree, cov, pos, sel_keys)
+
+            # early-exit descent: the while_loop sits OUTSIDE the vmap and
+            # stops as soon as EVERY mission hit its leaf (typical path
+            # depth 1–3 ≪ Hc); the step body is fully masked for done
+            # lanes, so no automatic while-batching carry-select appears
+            def cond(st):
+                j, c = st
+                return (j < Hc) & jnp.any(~c.done)
+
+            def body(st):
+                j, c = st
+                if dmask is None:
+                    c2 = jax.vmap(
+                        lambda cc: self._descend_step(j, cc, None, p_init)
+                    )(c)
+                else:
+                    c2 = jax.vmap(
+                        lambda cc, dm: self._descend_step(j, cc, dm, p_init)
+                    )(c, dmask)
+                return j + 1, c2
+
+            _, dc = jax.lax.while_loop(cond, body, (jnp.int32(0), dc))
+            tree = dc.tree
+            p_nodes, p_actions = dc.path_nodes, dc.path_actions
+            p_rewards, p_len, leaf = dc.path_rewards, dc.path_len, dc.leaf
+
+            hist_leaf, leaf_mask, _ = jax.vmap(
+                lambda cc, hr, rp: self._leaf_outputs(cc, hr, rp)
+            )(dc, hist_root, pos)
             policy, value = eval_leaves(hist_leaf, leaf_mask)
             is_root_first = first & (leaf == 0)
             tree, leaf_value = jax.vmap(

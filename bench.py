@@ -186,7 +186,9 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the headline alive
             detail["zero_search"] = {"error": repr(e)[:200]}
         try:
-            detail["train_step"] = _measure_train_detail(steps=100, repeats=3)
+            # steps=10 stays inside the tunnel's async-dispatch queue depth;
+            # ~100 queued steps forces a per-dispatch round trip (~14 ms each)
+            detail["train_step"] = _measure_train_detail(steps=10, repeats=3)
         except Exception as e:  # noqa: BLE001
             detail["train_step"] = {"error": repr(e)[:200]}
 

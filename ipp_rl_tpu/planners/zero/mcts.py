@@ -73,7 +73,7 @@ def init_tree(
     num_sims: int, num_actions: int, n: int, m: int, dtype, edge_dtype=None
 ) -> Tree:
     # capacity: root + ≤1 allocation per simulation + one DUMP slot
-    # (index c−1) that masked no-op scatters write to in _simulate_one —
+    # (index c−1) that masked no-op scatters write to in _descend_step —
     # never allocated, never read
     c = num_sims + 2
     return Tree(
@@ -438,7 +438,7 @@ class ZeroMCTS:
         no_valid = jnp.sum(leaf_mask) == 0
         value_out = jnp.where(leaf_ok & ~no_valid, value, 0.0)
 
-        # masked one-row scatters instead of cond (see _simulate_one)
+        # masked one-row scatters instead of cond (see _descend_step)
         ok = leaf_ok & ~no_valid
         tree = tree._replace(
             prior=tree.prior.at[idx].set(jnp.where(ok, p, tree.prior[idx])),
@@ -477,7 +477,7 @@ class ZeroMCTS:
                 nsa > 0, (nsa * tree.Qsa[node, a] + G_new) / (nsa + 1.0), G_new
             )
 
-            # masked scatters instead of cond (see _simulate_one): a
+            # masked scatters instead of cond (see _descend_step): a
             # zero .add and a rewrite-same-value .set are exact no-ops
             on = on_path.astype(tree.Nsa.dtype)
             tree = tree._replace(

@@ -283,7 +283,17 @@ class CMAESPlanner(Planner):
             wps, any_valid = self.replan_batch(state, k_plan)
             wp = wps[:, 0, :]
             cost = travel_costs(wp, state.pos, cfg.uav.max_v, cfg.uav.max_a)
-            can_move = state.active & any_valid & (cost <= state.budget) & (cost > 0)
+            # t < T masks the chunk-padding steps past the requested
+            # horizon: without it a T % scan_chunk != 0 mission really
+            # executes up to chunk-1 extra moves whose effects land in
+            # final_state while the per-step outputs are trimmed below
+            can_move = (
+                state.active
+                & any_valid
+                & (cost <= state.budget)
+                & (cost > 0)
+                & (t < T)
+            )
             state = state.replace(active=can_move)
             state = world.step_position(state, wp, k_meas)
             if think:

@@ -560,8 +560,21 @@ class ZeroMCTS:
                 return self.predict(net_variables, planes, lm.astype(dt))
 
             G = self.eval_chunk
-            if not (G and B > G and B % G == 0):
+            if not (G and B > G):
                 return fwd(hist_leaf, leaf_mask, mean)
+
+            # pad to a whole number of chunks (duplicate leading rows —
+            # pad < G < B so the source rows exist) so a B % G != 0
+            # batch stays chunked instead of silently falling back to
+            # one full-batch forward and its O(B) activation peak
+            pad = (-B) % G
+            mean_p = mean
+            if pad:
+                cat = lambda x: jnp.concatenate([x, x[:pad]], axis=0)
+                hist_leaf = jax.tree_util.tree_map(cat, hist_leaf)
+                leaf_mask = cat(leaf_mask)
+                mean_p = cat(mean)
+            Bp = B + pad
 
             def chunk_body(c, out):
                 pol_all, val_all = out
@@ -571,7 +584,7 @@ class ZeroMCTS:
                     hist_leaf,
                 )
                 lm = jax.lax.dynamic_slice_in_dim(leaf_mask, start, G, axis=0)
-                mn = jax.lax.dynamic_slice_in_dim(mean, start, G, axis=0)
+                mn = jax.lax.dynamic_slice_in_dim(mean_p, start, G, axis=0)
                 pol, val = fwd(h, lm, mn)
                 return (
                     jax.lax.dynamic_update_slice_in_dim(pol_all, pol, start, axis=0),
@@ -579,12 +592,13 @@ class ZeroMCTS:
                 )
 
             out0 = (
-                jnp.zeros((B, self.A), jnp.float32),
-                jnp.zeros((B,), jnp.float32),
+                jnp.zeros((Bp, self.A), jnp.float32),
+                jnp.zeros((Bp,), jnp.float32),
             )
-            return jax.lax.fori_loop(
-                0, jnp.asarray(B // G, jnp.int32), chunk_body, out0
+            pol_all, val_all = jax.lax.fori_loop(
+                0, jnp.asarray(Bp // G, jnp.int32), chunk_body, out0
             )
+            return pol_all[:B], val_all[:B]
 
         # Dirichlet root noise: only the FIRST root evaluation (sim 0)
         # ever applies it, so draw it once here with sim-0's noise keys

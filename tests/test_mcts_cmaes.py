@@ -146,3 +146,26 @@ def test_mission_config_reference_aliases():
     assert (m.uct_c, m.horizontal_spacing, m.epsilon_expand) == (2.0, 9.0, 0.3)
     assert (m.gamma, m.epsilon_rollout) == (0.8, 0.6)
     assert (c.cma_maxiter, c.cma_popsize, c.cma_sigma) == (11, 7, 2.5)
+
+
+@pytest.mark.slow
+def test_cmaes_chunk_padding_does_not_overstep(world):
+    """max_steps % scan_chunk != 0: the padded chunk steps must be
+    no-ops — final_state has to agree with the last trimmed per-step
+    output instead of executing up to chunk-1 extra moves."""
+    mc = MissionConfig(
+        type="cmaes", episode_horizon=2, cma_popsize=6, cma_maxiter=3,
+        cma_sigma=2.0,
+    )
+    p = CMAESPlanner(world, mc)
+    assert p.scan_chunk == 4
+    res = p.run(jax.random.key(5), batch_size=2, max_steps=5)  # 5 % 4 != 0
+    assert res.budgets.shape[1] == 6  # initial + 5 requested steps
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.budget), res.budgets[:, -1], rtol=1e-6
+    )
+    # uncertainty of the final state matches the last trimmed metric row
+    final_unc = np.asarray(world.evaluate(res.final_state)["uncertainty"])
+    np.testing.assert_allclose(
+        final_unc, res.metrics["uncertainty"][:, -1], rtol=1e-5
+    )

@@ -180,3 +180,31 @@ def test_bf16_inference_search_agreement(world):
     assert np.all(np.isfinite(pol)) and np.all(pol >= 0)
     np.testing.assert_allclose(pol.sum(axis=-1), 1.0, atol=1e-5)
     assert np.all(pol[~np.asarray(root_mask)] < 1e-6)
+
+
+def test_eval_chunk_padding_matches_unchunked(world):
+    """A mission batch that is NOT a multiple of eval_chunk must still be
+    chunk-evaluated (padded to whole chunks) and return the same search
+    result as the unchunked path — the former silent full-batch fallback
+    reintroduced the O(B) activation peak the chunking exists to bound."""
+    from ipp_rl_tpu.planners.zero.features import init_history
+    from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    cfg = world.cfg
+    net, st = init_train_state(cfg, HP, jax.random.key(0))
+    B = 6  # 6 % 4 != 0 → pad to 8
+    state = world.init_state(jax.random.key(1), B)
+    hist = jax.vmap(lambda c, p, b: init_history(cfg, HP, jnp.float32))(
+        state.cov, state.pos, state.budget
+    )
+
+    def visits(chunk):
+        mcts = ZeroMCTS(world, HP, 2, predict_fn(net), eval_chunk=chunk)
+        tree, _ = mcts.search(
+            state.cov, state.mean, state.pos, state.budget, hist,
+            jax.random.key(2), net_variables=st.variables(),
+        )
+        return np.asarray(tree.Nsa[:, 0])
+
+    np.testing.assert_array_equal(visits(0), visits(4))

@@ -73,15 +73,21 @@ def test_parity_adaptive_regime(parity_adaptive, planner):
 
 
 def test_zero_quality_adaptive(parity_adaptive):
-    """The trained zero checkpoint (canonical 100 sims) must at least
-    stay in the family: final RMSE within 2x of the reference greedy's
-    and clear uncertainty reduction from the prior (~115 masked)."""
+    """The trained zero checkpoint (canonical 100 sims) is held to the
+    reference's own claim — solution quality on par with its sampling
+    planners (reference README.md:15-16): masked tr(P) within 2x of the
+    reference classic MCTS row of the SAME artifact and RMSE within
+    1.25x of it.  A near-random policy (~40 masked tr(P) vs ref MCTS
+    ~21 at budget 100) fails these bounds."""
     if "zero" not in parity_adaptive["planners"]:
         pytest.skip("zero not in artifact")
     z = parity_adaptive["planners"]["zero"]["ours"]
-    g = parity_adaptive["planners"]["greedy"]["reference"]
-    assert z["rmse_final"][0] <= g["rmse_final"][0] * 2.0 + 0.02
-    assert z["uncertainty_final"][0] < 60.0
+    m = parity_adaptive["planners"]["mcts"]["reference"]
+    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 2.0, (
+        f"zero tr(P) {z['uncertainty_final'][0]:.2f} vs ref MCTS "
+        f"{m['uncertainty_final'][0]:.2f}"
+    )
+    assert z["rmse_final"][0] <= m["rmse_final"][0] * 1.25 + 0.01
 
 
 @pytest.fixture(scope="module")
@@ -103,11 +109,14 @@ def test_parity_canonical_budget(parity_b200, planner):
 
 
 def test_zero_quality_canonical_budget(parity_b200):
-    """Trained zero at its training budget (200): mid-family quality —
-    masked tr(P) within ~2x of the reference classic MCTS and RMSE
-    within 2x of reference greedy."""
+    """Trained zero at its training budget (200), held to the
+    reference's claim (README.md:15-16): masked tr(P) within 2x of the
+    reference classic MCTS row and RMSE within 1.25x of it.  A
+    near-random policy (~38 masked tr(P)) fails by ~8x."""
     z = parity_b200["planners"]["zero"]["ours"]
     m = parity_b200["planners"]["mcts"]["reference"]
-    g = parity_b200["planners"]["greedy"]["reference"]
-    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 2.0 + 2.0
-    assert z["rmse_final"][0] <= g["rmse_final"][0] * 2.0 + 0.01
+    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 2.0, (
+        f"zero tr(P) {z['uncertainty_final'][0]:.2f} vs ref MCTS "
+        f"{m['uncertainty_final'][0]:.2f}"
+    )
+    assert z["rmse_final"][0] <= m["rmse_final"][0] * 1.25 + 0.01

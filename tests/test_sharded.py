@@ -275,3 +275,40 @@ def test_dp_sharded_cmaes_8192_shape(small_cfg):
     assert (res.num_steps >= 1).all()
     unc = res.metrics["uncertainty"]
     assert unc[:, -1].mean() < unc[:, 0].mean()
+
+
+@pytest.mark.slow
+def test_dp_sharded_cmaes_8192_temperature(monkeypatch):
+    """BASELINE config #5 at its full 8192-mission shape on the ACTUAL
+    temperature-data config (ipp_rl_tpu/config/temperature_cmaes.yaml +
+    datasets/temperature.png), dp-sharded over the virtual 8-device
+    mesh (reduced pop/iters keep the CPU run tractable; the partitioned
+    shape on the real config is the thing under test)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ipp_rl_tpu import load_config
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.parallel.mesh import make_mesh, shard_batch
+    from ipp_rl_tpu.planners import CMAESPlanner
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    monkeypatch.setenv("DATASETS_DIR", os.path.join(root, "datasets"))
+    cfg = load_config(
+        os.path.join(root, "ipp_rl_tpu/config/temperature_cmaes.yaml")
+    )
+    mesh = make_mesh(n_devices=8, dp=8, mp=1)
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    mc = MissionConfig(
+        type="cmaes", episode_horizon=2, cma_popsize=4, cma_maxiter=2
+    )
+    planner = CMAESPlanner(world, mc)
+    B = 8192
+    state = shard_batch(mesh, world.init_state(jax.random.key(0), B))
+    res = planner.run(jax.random.key(1), B, max_steps=1, init_state=state)
+    assert res.metrics["uncertainty"].shape[0] == B
+    assert (res.num_steps >= 1).all()
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()

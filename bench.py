@@ -186,11 +186,34 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the headline alive
             detail["zero_search"] = {"error": repr(e)[:200]}
         try:
-            # steps=10 stays inside the tunnel's async-dispatch queue depth;
-            # ~100 queued steps forces a per-dispatch round trip (~14 ms each)
-            detail["train_step"] = _measure_train_detail(steps=10, repeats=3)
+            # the BASELINE flagship scale (4096 concurrently searched
+            # missions / chip) captured in the driver artifact, not just
+            # side logs; 2 repeats keeps the added wall time bounded
+            detail["zero_search_4096"] = _measure_zero_detail(
+                batch=4096, sims=100, repeats=2, eval_chunk=256
+            )
+        except Exception as e:  # noqa: BLE001
+            detail["zero_search_4096"] = {"error": repr(e)[:200]}
+        try:
+            # Measured in a FRESH subprocess running `--mode train` (the
+            # solo methodology).  In-process measurement AFTER the big
+            # greedy/zero programs reads ~8x slower (~88 steps/s vs ~710)
+            # regardless of burst depth — post-big-program dispatches in
+            # this process each pay a tunnel round trip, which is a
+            # session artifact, not train-step cost.  The parent is idle
+            # on the TPU while the subprocess runs, so there is no
+            # concurrent device contention.
+            detail["train_step"] = _measure_train_subprocess()
         except Exception as e:  # noqa: BLE001
             detail["train_step"] = {"error": repr(e)[:200]}
+        try:
+            # in-process burst kept as a diagnostic of the dispatch
+            # degradation (see docs/PERFORMANCE.md "Training")
+            detail["train_step_inprocess"] = _measure_train_detail(
+                steps=10, repeats=3
+            )
+        except Exception as e:  # noqa: BLE001
+            detail["train_step_inprocess"] = {"error": repr(e)[:200]}
 
     print(
         json.dumps(
@@ -270,6 +293,28 @@ def _measure_zero_detail(batch, sims, repeats, eval_chunk):
         "eval_chunk": eval_chunk,
         "network_channels": hp.num_channels,
     }
+
+
+def _measure_train_subprocess():
+    """Run `bench.py --mode train` in a fresh process and return its
+    detail (plus the headline steps/s) — the number PERFORMANCE.md
+    documents, now driver-captured with the same methodology."""
+    import os
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "train",
+         "--steps", "100", "--repeats", "3"],
+        capture_output=True, text=True, timeout=900, cwd=os.path.dirname(
+            os.path.abspath(__file__)
+        ),
+    )
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    parsed = json.loads(line)
+    out = dict(parsed["detail"])
+    out["steps_per_s"] = parsed["value"]
+    out["methodology"] = "fresh subprocess, --mode train --steps 100"
+    return out
 
 
 def _measure_train_detail(steps, repeats):

@@ -230,6 +230,16 @@ class MCTSZeroHyperParams:
     # doubles MXU rate; training always stays float32.  Agreement with
     # the f32 path is tested (tests/test_zero_extras.py).
     inference_dtype: str = "float32"
+    # Extension (not a reference knob): the reference's value head ends
+    # Linear -> SiLU -> Softplus (reference layers.py:280), whose
+    # minimum output is softplus(min silu) = 0.5636 — the head CANNOT
+    # express sqrt-scaled value targets below that (raw 5-step returns
+    # < 1.45).  On the canonical adaptive workload 55% of self-play
+    # targets sit under the floor (all late-episode states), so the
+    # learned value cannot rank depleted regions.  True drops the SiLU:
+    # Linear -> Softplus has range (0, inf), covering every target.
+    # False keeps the reference head verbatim.
+    unfloored_value_head: bool = False
 
     def __post_init__(self):
         if self.inference_dtype not in ("float32", "bfloat16"):

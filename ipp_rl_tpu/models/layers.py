@@ -272,7 +272,16 @@ class Decoder(nn.Module):
 
 class ValueHead(nn.Module):
     """Convs → global pool → Dense(2C, 1) → act → softplus
-    (reference layers.py:255-298)."""
+    (reference layers.py:255-298).
+
+    ``unfloored=True`` drops the activation between Dense and softplus:
+    the reference's Linear → SiLU → Softplus composition has minimum
+    output softplus(min SiLU) ≈ 0.5636, so √-scaled value targets below
+    that (raw 5-step returns < 1.45 — 55% of canonical adaptive
+    self-play samples, every late-episode state) are unrepresentable
+    and the learned value cannot rank depleted regions.  Linear →
+    Softplus has range (0, ∞).  Documented deviation, off by default
+    (hp.unfloored_value_head)."""
 
     features: int
     num_blocks: int
@@ -281,6 +290,7 @@ class ValueHead(nn.Module):
     use_reward_target: bool = False
     use_global_context: bool = True
     num_global_pooling_channels: int = 32
+    unfloored: bool = False
 
     def setup(self):
         kw = dict(dropout=self.dropout, use_silu=self.use_silu)
@@ -299,9 +309,12 @@ class ValueHead(nn.Module):
             else:
                 x = act(self.conv_block(x, train))
         x = self.pool(x)
-        value = nn.softplus(act(self.head(x)))[:, 0]
+        head_act = (lambda z: z) if self.unfloored else act
+        value = nn.softplus(head_act(self.head(x)))[:, 0]
         reward = (
-            nn.softplus(act(self.head(x)))[:, 0] if self.use_reward_target else None
+            nn.softplus(head_act(self.head(x)))[:, 0]
+            if self.use_reward_target
+            else None
         )
         return value, reward
 

@@ -53,6 +53,7 @@ class PolicyValueNetwork(nn.Module):
             features=hp.num_channels,
             num_blocks=hp.num_value_head_conv_bn_blocks,
             use_reward_target=hp.use_reward_target,
+            unfloored=hp.unfloored_value_head,
             **common,
         )
         if hp.use_autoencoder:
@@ -132,6 +133,7 @@ class ValueNetwork(nn.Module):
             use_reward_target=hp.use_reward_target,
             use_global_context=hp.use_global_context_mixing,
             num_global_pooling_channels=hp.num_global_pooling_channels,
+            unfloored=hp.unfloored_value_head,
         )(feat, train)
 
 

@@ -273,7 +273,7 @@ class ZeroMCTS:
         )
         return carry
 
-    def _descend_step(self, i, c, diag_mask, puct_init):
+    def _descend_step(self, i, c, diag_mask, puct_init, forced_playouts=True):
         """One per-mission descent iteration (fully masked when done)."""
         cfg = self.world.cfg
         dt = c.tree.Qsa.dtype
@@ -287,7 +287,9 @@ class ZeroMCTS:
         done = c.done | terminal | is_leaf
 
         k_sel, k_next = jax.random.split(c.key)
-        uct = self.puct(tree, c.node, puct_init, force=(c.depth == 0))
+        uct = self.puct(
+            tree, c.node, puct_init, force=(c.depth == 0) & forced_playouts
+        )
         a = _rand_argmax(k_sel, uct)
 
         # edge dynamics (discarded when done — masked below)
@@ -506,11 +508,21 @@ class ZeroMCTS:
         puct_init: Optional[float] = None,
         dirichlet_alpha: Optional[float] = None,
         num_simulations: Optional[int] = None,
+        forced_playouts: bool = True,
+        root_noise: bool = True,
     ) -> Tuple[Tree, jnp.ndarray]:
         """Run the full search; returns the (B,)-batched trees and the
         root valid-action masks.  ``net_variables`` are threaded to the
         predict function so jitted callers can swap weights without
-        retracing."""
+        retracing.
+
+        ``forced_playouts`` / ``root_noise`` (static) switch off the
+        KataGo root forced playouts and the Dirichlet root noise.  The
+        reference keeps BOTH on even at deploy time (reference
+        mcts.py:221-222 noise at num_sim==0, :236 force at depth==0
+        unconditionally); they are self-play exploration mechanisms, so
+        deployment may disable them (ZeroPlanner deploy_mode="clean") —
+        documented deviation, reference behavior is the default."""
         hp = self.hp
         B = cov.shape[0]
         dt = cov.dtype
@@ -603,13 +615,16 @@ class ZeroMCTS:
         # Dirichlet root noise: only the FIRST root evaluation (sim 0)
         # ever applies it, so draw it once here with sim-0's noise keys
         # — the applied values are identical to the former in-loop draw
-        k0_sel, k0_noise = jax.random.split(jax.random.fold_in(key, 0))
-        noise_keys0 = jax.random.split(k0_noise, B)
-        root_noise = jax.vmap(
-            lambda kk: jax.random.dirichlet(
-                kk, jnp.full((self.A,), d_alpha, dt), dtype=dt
-            )
-        )(noise_keys0)
+        if root_noise:
+            k0_sel, k0_noise = jax.random.split(jax.random.fold_in(key, 0))
+            noise_keys0 = jax.random.split(k0_noise, B)
+            noise_arr = jax.vmap(
+                lambda kk: jax.random.dirichlet(
+                    kk, jnp.full((self.A,), d_alpha, dt), dtype=dt
+                )
+            )(noise_keys0)
+        else:
+            noise_arr = jnp.zeros((B, self.A), dt)
 
         # the root-pushed history ring is the same for every simulation:
         # push it once (the former per-sim push was (L, N, N) of traffic
@@ -656,11 +671,15 @@ class ZeroMCTS:
                 j, c = st
                 if dmask is None:
                     c2 = jax.vmap(
-                        lambda cc: self._descend_step(j, cc, None, p_init)
+                        lambda cc: self._descend_step(
+                            j, cc, None, p_init, forced_playouts
+                        )
                     )(c)
                 else:
                     c2 = jax.vmap(
-                        lambda cc, dm: self._descend_step(j, cc, dm, p_init)
+                        lambda cc, dm: self._descend_step(
+                            j, cc, dm, p_init, forced_playouts
+                        )
                     )(c, dmask)
                 return j + 1, c2
 
@@ -673,12 +692,12 @@ class ZeroMCTS:
                 lambda cc, hr, rp: self._leaf_outputs(cc, hr, rp)
             )(dc, hist_root, pos)
             policy, value = eval_leaves(hist_leaf, leaf_mask)
-            is_root_first = first & (leaf == 0)
+            is_root_first = first & (leaf == 0) & root_noise
             tree, leaf_value = jax.vmap(
                 lambda tr, lf, po, va, lm, rf, nz: self._integrate_eval(
                     tr, lf, po, va, lm, rf, nz
                 )
-            )(tree, leaf, policy, value, leaf_mask, is_root_first, root_noise)
+            )(tree, leaf, policy, value, leaf_mask, is_root_first, noise_arr)
             tree = jax.vmap(self._backup)(
                 tree, p_nodes, p_actions, p_rewards, p_len, leaf_value
             )

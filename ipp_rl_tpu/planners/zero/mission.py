@@ -42,12 +42,25 @@ class ZeroPlanner(Planner):
         predict,  # (variables, planes, masks) -> (policy, value)
         variables,
         num_root_parallel: int = 1,
+        deploy_mode: str = "reference",
     ):
+        """``deploy_mode="reference"`` keeps the reference's deploy-time
+        search verbatim (root Dirichlet noise + forced playouts stay ON
+        — reference mcts.py:221-222,236 apply both unconditionally).
+        ``"clean"`` switches both off for deployment: they are
+        self-play exploration mechanisms (KataGo disables them at
+        deployment), and with
+        ~50 valid actions the forced-playout floor alone spreads ~2
+        visits to every valid action, washing out the argmax-visit
+        decision at low simulation counts.  Documented deviation;
+        evaluated in runs/quality_vs_runtime."""
         super().__init__(world, mission_cfg)
         self.hp = mission_cfg.hyper_params
         self.predict = predict
         self.variables = variables
         self.num_root_parallel = num_root_parallel
+        assert deploy_mode in ("reference", "clean")
+        self.deploy_mode = deploy_mode
         self.mcts = ZeroMCTS(
             world, self.hp, mission_cfg.episode_horizon, predict
         )
@@ -67,11 +80,17 @@ class ZeroPlanner(Planner):
             return jnp.argmax(policy, axis=-1).astype(jnp.int32)
 
         W = self.num_root_parallel
+        clean = self.deploy_mode == "clean"
+        search_kw = dict(
+            net_variables=self.variables,
+            forced_playouts=not clean,
+            root_noise=not clean,
+        )
         k_search, k_tie = jax.random.split(key)
         if W == 1:
             tree, _ = self.mcts.search(
                 state.cov, state.mean, state.pos, state.budget, hist, k_search,
-                net_variables=self.variables,
+                **search_kw,
             )
             visits = tree.Nsa[:, 0]  # (B, A)
         else:
@@ -80,7 +99,7 @@ class ZeroPlanner(Planner):
             visit_stack = jax.vmap(
                 lambda k: self.mcts.search(
                     state.cov, state.mean, state.pos, state.budget, hist, k,
-                    net_variables=self.variables,
+                    **search_kw,
                 )[0].Nsa[:, 0]
             )(keys)
             visits = jnp.sum(visit_stack, axis=0)

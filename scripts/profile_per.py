@@ -32,7 +32,16 @@ def main():
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--episode-steps", type=int, default=24)
     ap.add_argument("--slots", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument(
+        "--canonical", action="store_true",
+        help="canonical shape: 128 channels, 10 blocks, batch 96 "
+        "(reference config/example.yaml:82,95-96) — the shape the "
+        "PER<=2x-of-uniform acceptance bound was set for",
+    )
     args = ap.parse_args()
+    if args.canonical:
+        args.channels, args.blocks, args.batch_size = 128, 10, 96
 
     import dataclasses
 
@@ -53,7 +62,7 @@ def main():
         num_channels=args.channels,
         num_encoder_res_blocks=args.blocks,
         num_global_pooling_channels=min(32, args.channels // 2),
-        batch_size=64,
+        batch_size=args.batch_size,
         num_augmented_samples=1,
         use_per=True,
     )

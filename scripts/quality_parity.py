@@ -214,7 +214,8 @@ def build_our_cfg(budget: float, sims: int, planner: str, adaptive: bool = False
 
 
 def run_ours(planner: str, gts: np.ndarray, budget: float, sims: int,
-             zero_ckpt: str, zero_sims: int, adaptive: bool = False):
+             zero_ckpt: str, zero_sims: int, adaptive: bool = False,
+             zero_arch=(64, 6), zero_unfloored: bool = False):
     """All repetitions as ONE mission batch; returns list of curves."""
     import jax
 
@@ -248,13 +249,14 @@ def run_ours(planner: str, gts: np.ndarray, budget: float, sims: int,
         from ipp_rl_tpu.planners.zero.mission import ZeroPlanner
         from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
 
-        # the committed zero_canon artifact's architecture + end-of-training
-        # exploration constants (scripts/train_zero.py defaults, 20 iters)
+        # the committed checkpoint's architecture + end-of-training
+        # exploration constants (see --zero-channels/--zero-blocks)
         hp = dataclasses.replace(
             cfg.missions[0].hyper_params,
-            num_channels=64,
-            num_encoder_res_blocks=6,
-            num_global_pooling_channels=32,
+            num_channels=zero_arch[0],
+            num_encoder_res_blocks=zero_arch[1],
+            num_global_pooling_channels=min(32, zero_arch[0] // 2),
+            unfloored_value_head=zero_unfloored,
             num_mcts_simulations=zero_sims,
             max_valid_action_distance=11.5,
             puct_init=4.0,
@@ -303,6 +305,9 @@ def main():
     ap.add_argument("--sims", type=int, default=32)
     ap.add_argument("--zero-sims", type=int, default=32)
     ap.add_argument("--zero-ckpt", default="runs/zero_canon")
+    ap.add_argument("--zero-channels", type=int, default=64)
+    ap.add_argument("--zero-blocks", type=int, default=6)
+    ap.add_argument("--zero-unfloored", action="store_true")
     ap.add_argument("--planners", default="greedy,mcts,cmaes")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
@@ -367,7 +372,9 @@ def main():
         for planner in planners:
             t0 = time.time()
             curves = run_ours(planner, gts, args.budget, args.sims,
-                              args.zero_ckpt, args.zero_sims, args.adaptive)
+                              args.zero_ckpt, args.zero_sims, args.adaptive,
+                              zero_arch=(args.zero_channels, args.zero_blocks),
+                              zero_unfloored=args.zero_unfloored)
             e = summarize(curves, t0)
             result["planners"][planner]["ours"] = e
             print(f"[ours {planner}] unc {e['uncertainty_final']} "

@@ -34,11 +34,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=30)
     ap.add_argument("--envs", type=int, default=192)
-    ap.add_argument("--sims", type=int, default=32)
+    # canonical self-play scale (reference config/example.yaml:60-64):
+    # 100 simulations, 40-step episodes.  The r3 failure analysis
+    # (runs/zero_canon_r3_diag) traced the near-random retrain to the
+    # REDUCED recipe (32 sims / 24 steps / 48-batch training cap), so
+    # the defaults now follow the reference recipe.
+    ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=6)
-    ap.add_argument("--max-episode-steps", type=int, default=24)
-    ap.add_argument("--train-batches", type=int, default=48)
+    ap.add_argument("--max-episode-steps", type=int, default=40)
+    ap.add_argument(
+        "--train-batches", type=int, default=0,
+        help="cap on minibatches per epoch (0 = full window sweep, the "
+        "reference semantics — wrappers :121-171)",
+    )
+    ap.add_argument("--batch-size", type=int, default=96)
+    ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--eval-batch", type=int, default=32)
     ap.add_argument("--out", default="runs/zero_small")
     ap.add_argument(
@@ -52,6 +63,13 @@ def main():
         "(0 = max-episode-steps, the reference semantics: its canonical "
         "threshold 40 >= its 40-step episodes, so self-play NEVER trains "
         "on one-hot targets — reference config/example.yaml:63-64)",
+    )
+    ap.add_argument(
+        "--unfloored-value-head", action="store_true",
+        help="drop the SiLU between the value head's Dense and Softplus: "
+        "the reference composition floors the output at 0.5636, above "
+        "55%% of canonical self-play value targets (every late-episode "
+        "state) — see schema.unfloored_value_head",
     )
     ap.add_argument(
         "--eval-untrained", action="store_true",
@@ -71,14 +89,15 @@ def main():
         num_channels=args.channels,
         num_encoder_res_blocks=args.blocks,
         num_global_pooling_channels=min(32, args.channels // 2),
-        batch_size=64,
-        num_epochs=2,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
         temperature_threshold=args.temperature_threshold or args.max_episode_steps,
         shuffle_prior_cov=True,
         continuous_network_update=True,
         puct_init=args.puct_init,
         puct_init_min=min(4.0, args.puct_init),
         max_valid_action_distance=11.5,
+        unfloored_value_head=args.unfloored_value_head,
     )
     mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
     world = IPPWorld(cfg, fast_sweeps=True)
@@ -91,7 +110,10 @@ def main():
         num_envs=args.envs,
     )
     t0 = time.time()
-    learner.learn(num_iterations=args.iterations, num_train_batches=args.train_batches)
+    learner.learn(
+        num_iterations=args.iterations,
+        num_train_batches=args.train_batches or None,
+    )
     logger.info("training done in %.1f min", (time.time() - t0) / 60)
 
     # -------- evaluation on held-out worlds at matched budget ----------

@@ -208,3 +208,74 @@ def test_eval_chunk_padding_matches_unchunked(world):
         return np.asarray(tree.Nsa[:, 0])
 
     np.testing.assert_array_equal(visits(0), visits(4))
+
+
+def test_clean_deploy_search_modes(world):
+    """forced_playouts/root_noise off (ZeroPlanner deploy_mode="clean")
+    must still produce a valid, visit-conserving search; the reference
+    mode (both on) is the default and unchanged."""
+    from ipp_rl_tpu.planners.zero.features import init_history
+    from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    cfg = world.cfg
+    net, st = init_train_state(cfg, HP, jax.random.key(0))
+    B = 3
+    state = world.init_state(jax.random.key(1), B)
+    hist = jax.vmap(lambda c, p, b: init_history(cfg, HP, jnp.float32))(
+        state.cov, state.pos, state.budget
+    )
+    mcts = ZeroMCTS(world, HP, 2, predict_fn(net))
+
+    def run(**kw):
+        tree, mask = mcts.search(
+            state.cov, state.mean, state.pos, state.budget, hist,
+            jax.random.key(2), net_variables=st.variables(), **kw,
+        )
+        return np.asarray(tree.Nsa[:, 0]), np.asarray(mask)
+
+    v_ref, mask = run()
+    v_default, _ = run(forced_playouts=True, root_noise=True)
+    np.testing.assert_array_equal(v_ref, v_default)  # defaults == reference
+    v_clean, _ = run(forced_playouts=False, root_noise=False)
+    # visit conservation: every simulation that reached the root's
+    # expansion contributes one root visit in both modes
+    assert v_clean.sum() > 0
+    np.testing.assert_array_equal(v_clean.sum(axis=-1), v_ref.sum(axis=-1))
+    assert np.all(v_clean[~mask.astype(bool)] == 0)
+
+
+def test_value_head_floor_and_unfloored_fix():
+    """The reference head (Linear -> SiLU -> Softplus) cannot output
+    below softplus(min SiLU) = 0.5636 no matter how negative the Dense
+    pre-activation is; unfloored=True (Linear -> Softplus) reaches
+    arbitrarily small positive values.  55% of canonical self-play value
+    targets sit below the floor (see schema.unfloored_value_head)."""
+    import flax
+    from ipp_rl_tpu.models.layers import ValueHead
+
+    x = jnp.ones((2, 4, 4, 8))
+
+    for unfloored in (False, True):
+        head = ValueHead(
+            features=8, num_blocks=1, use_global_context=False,
+            num_global_pooling_channels=4, unfloored=unfloored,
+        )
+        variables = head.init(jax.random.key(0), x, train=False)
+        # force a hugely negative Dense pre-activation
+        params = flax.core.unfreeze(variables["params"])
+        params["head"]["kernel"] = jnp.zeros_like(params["head"]["kernel"])
+        params["head"]["bias"] = jnp.full_like(params["head"]["bias"], -30.0)
+        variables = {**variables, "params": params}
+        value, _ = head.apply(variables, x, train=False)
+        v = float(np.asarray(value)[0])
+        if unfloored:
+            assert v < 1e-6, f"unfloored head should reach ~0, got {v}"
+        else:
+            # z -> -inf: silu(z) -> 0, softplus(0) = ln 2
+            assert abs(v - np.log(2.0)) < 1e-4, v
+
+    # and the floor itself: min over z of softplus(silu(z)) = 0.5636
+    z = jnp.linspace(-10, 0, 2001)
+    floored = jnp.logaddexp(z * jax.nn.sigmoid(z), 0.0)
+    assert abs(float(jnp.min(floored)) - 0.5636) < 1e-3

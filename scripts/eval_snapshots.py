@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--eval-steps", type=int, default=25)
     ap.add_argument("--puct-init", type=float, default=4.0)
     ap.add_argument("--deploy-mode", default="reference")
+    ap.add_argument(
+        "--world-seed", type=int, default=12345,
+        help="held-out world batch seed; use a DIFFERENT seed for the "
+        "final report than for snapshot selection (validation/test split)",
+    )
     ap.add_argument("--unfloored-value-head", action="store_true")
     args = ap.parse_args()
 
@@ -50,7 +55,7 @@ def main():
     )
     world = IPPWorld(cfg, fast_sweeps=True)
     B = args.batch
-    init_state = world.init_state(jax.random.key(12345), B)
+    init_state = world.init_state(jax.random.key(args.world_seed), B)
 
     hp = MCTSZeroHyperParams(
         num_mcts_simulations=args.sims,
@@ -96,7 +101,8 @@ def main():
     evaluate("greedy", GreedyPlanner(world, MissionConfig(type="greedy")))
     evaluate("random", RandomDiscretePlanner(world, MissionConfig(type="random_discrete")))
 
-    with open(os.path.join(args.run, f"snapshot_eval_{args.deploy_mode}.json"), "w") as f:
+    suffix = "" if args.world_seed == 12345 else f"_s{args.world_seed}"
+    with open(os.path.join(args.run, f"snapshot_eval_{args.deploy_mode}{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 

@@ -65,6 +65,17 @@ def main():
         "on one-hot targets — reference config/example.yaml:63-64)",
     )
     ap.add_argument(
+        "--train-noise-scale", type=float, default=1.0,
+        help="multiply the SELF-PLAY world's injected measurement-noise "
+        "std by this factor (domain randomization; the filter's assumed "
+        "R and the eval/deploy world stay exact). Motivation: the r2 "
+        "checkpoint accidentally trained with ~4.6x the reference "
+        "injection (pre-PARITY-14 bug) and deploys at 13.2/6.81 masked "
+        "tr(P) in the corrected world, while every corrected-world "
+        "retrain stalls near-random — inflated masks during self-play "
+        "densify the late-episode reward signal.",
+    )
+    ap.add_argument(
         "--unfloored-value-head", action="store_true",
         help="drop the SiLU between the value head's Dense and Softplus: "
         "the reference composition floors the output at 0.5636, above "
@@ -101,9 +112,15 @@ def main():
     )
     mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
     world = IPPWorld(cfg, fast_sweeps=True)
+    # self-play world with inflated injected noise (the filter's assumed
+    # R is untouched); evaluation below always uses the exact world
+    world_train = world
+    if args.train_noise_scale != 1.0:
+        world_train = IPPWorld(cfg, fast_sweeps=True)
+        world_train.noise_std = world_train.noise_std * args.train_noise_scale
 
     learner = ZeroLearner(
-        world,
+        world_train,
         mc,
         checkpoints_dir=os.path.join(args.out, "checkpoints"),
         log_dir=os.path.join(args.out, "logs"),

@@ -215,7 +215,8 @@ def build_our_cfg(budget: float, sims: int, planner: str, adaptive: bool = False
 
 def run_ours(planner: str, gts: np.ndarray, budget: float, sims: int,
              zero_ckpt: str, zero_sims: int, adaptive: bool = False,
-             zero_arch=(64, 6), zero_unfloored: bool = False):
+             zero_arch=(64, 6), zero_unfloored: bool = False,
+             zero_deploy_mode: str = "reference"):
     """All repetitions as ONE mission batch; returns list of curves."""
     import jax
 
@@ -268,7 +269,10 @@ def run_ours(planner: str, gts: np.ndarray, budget: float, sims: int,
         )
         with open(ckpt, "rb") as f:
             variables = serialization.from_bytes(tstate.variables(), f.read())
-        p = ZeroPlanner(world, mc, predict_fn(net), variables)
+        p = ZeroPlanner(
+            world, mc, predict_fn(net), variables,
+            deploy_mode=zero_deploy_mode,
+        )
     res = p.run(jax.random.key(21), R, init_state=state)
 
     out = []
@@ -308,6 +312,7 @@ def main():
     ap.add_argument("--zero-channels", type=int, default=64)
     ap.add_argument("--zero-blocks", type=int, default=6)
     ap.add_argument("--zero-unfloored", action="store_true")
+    ap.add_argument("--zero-deploy-mode", default="reference")
     ap.add_argument("--planners", default="greedy,mcts,cmaes")
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
@@ -374,7 +379,8 @@ def main():
             curves = run_ours(planner, gts, args.budget, args.sims,
                               args.zero_ckpt, args.zero_sims, args.adaptive,
                               zero_arch=(args.zero_channels, args.zero_blocks),
-                              zero_unfloored=args.zero_unfloored)
+                              zero_unfloored=args.zero_unfloored,
+                              zero_deploy_mode=args.zero_deploy_mode)
             e = summarize(curves, t0)
             result["planners"][planner]["ours"] = e
             print(f"[ours {planner}] unc {e['uncertainty_final']} "

@@ -86,9 +86,12 @@ def main():
         print(name, out[name], flush=True)
 
     for snap in args.snapshots.split(","):
-        path = os.path.join(
-            args.run, "checkpoints", f"shared_net.snapshot_{snap}"
+        name = (
+            "shared_net.trained_model.ckpt"
+            if snap == "deploy"
+            else f"shared_net.snapshot_{snap}"
         )
+        path = os.path.join(args.run, "checkpoints", name)
         if not os.path.exists(path):
             print("missing", path)
             continue

@@ -63,3 +63,58 @@ def test_uncertainty_curve_monotone_decreasing(eval_table):
     """Belief uncertainty must not increase under measurement commits."""
     curve = eval_table["mcts_zero"]["uncertainty_curve"]
     assert all(b <= a + 1e-6 for a, b in zip(curve, curve[1:]))
+
+
+def test_r4_flagship_checkpoint_loads_and_plans():
+    """The committed r4 flagship checkpoint (runs/zero_canon_r4_best —
+    canonical 128ch/10-block net, unfloored value head, selected by
+    held-out deploy eval; parity rows in runs/parity_b200) must load
+    into the current network definition and drive a few deploy replan
+    steps end to end."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ipp_rl_tpu import load_config
+    from ipp_rl_tpu.config.schema import MCTSZeroHyperParams, MissionConfig
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.planners.zero.learn import load_checkpoint
+    from ipp_rl_tpu.planners.zero.mission import ZeroPlanner
+    from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "runs", "zero_canon_r4_best",
+        "checkpoints", "shared_net.trained_model.ckpt",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip("no committed r4 flagship checkpoint")
+    cfg = load_config(
+        os.path.join(
+            os.path.dirname(__file__), "..", "ipp_rl_tpu/config/example.yaml"
+        )
+    )
+    hp = MCTSZeroHyperParams(
+        num_mcts_simulations=4,  # tiny search: loadability + deploy path
+        num_channels=128,
+        num_encoder_res_blocks=10,
+        max_valid_action_distance=11.5,
+        puct_init=4.0,
+        dirichlet_alpha=0.3,
+        unfloored_value_head=True,
+    )
+    world = IPPWorld(cfg)
+    _, state0 = init_train_state(cfg, hp, jax.random.key(0))
+    st = load_checkpoint(ckpt, state0)
+    net, _ = init_train_state(cfg, hp, jax.random.key(0))
+    # checkpoint params must differ from a fresh init (really loaded)
+    fresh = jax.tree_util.tree_leaves(state0.params)[0]
+    loaded = jax.tree_util.tree_leaves(st.params)[0]
+    assert not np.allclose(np.asarray(fresh), np.asarray(loaded))
+    mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
+    net2, _ = init_train_state(cfg, hp, jax.random.key(1))
+    planner = ZeroPlanner(
+        world, mc, predict_fn(net2), st.variables(), deploy_mode="clean"
+    )
+    res = planner.run(jax.random.key(7), 2, max_steps=3)
+    unc = res.metrics["uncertainty"]
+    assert unc[:, -1].mean() < unc[:, 0].mean()

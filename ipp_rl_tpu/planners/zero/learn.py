@@ -94,7 +94,19 @@ class ZeroLearner:
         seed: int = 42,
         use_tensorboard: bool = False,
         train_data_dir: Optional[str] = None,
+        deploy_eval_every: int = 0,
+        deploy_eval_envs: int = 16,
+        deploy_eval_steps: int = 16,
+        deploy_eval_world: Optional[IPPWorld] = None,
     ):
+        """``deploy_eval_every`` > 0 runs a small held-out deploy eval
+        (fixed worlds, temperature-0 visit argmax) every k iterations
+        and keeps the best snapshot at ``shared_net.best``.  Deploy
+        quality peaks mid-training and then degrades while self-play
+        episode value stays flat (docs/PERFORMANCE.md r4 diagnosis), so
+        the LAST checkpoint is the wrong deployment artifact; this
+        builds the snapshot-selection workflow (scripts/
+        eval_snapshots.py) into the learner."""
         self.world = world
         self.cfg: Config = world.cfg
         self.mc = mission_cfg
@@ -176,6 +188,18 @@ class ZeroLearner:
         self.dirichlet_alpha = hp.dirichlet_alpha
         self.prev_network_wins = 0
 
+        # best-snapshot selection by held-out deploy eval (r4)
+        self.deploy_eval_every = deploy_eval_every
+        self.deploy_eval_envs = deploy_eval_envs
+        self.deploy_eval_steps = deploy_eval_steps
+        self.best_deploy_eval = float("inf")
+        self.best_iteration = -1
+        self._deploy_eval_state = None  # lazily built fixed eval worlds
+        self._deploy_eval_fn = None  # compiled once, weights as argument
+        # selection must happen in the EXACT world even when self-play
+        # runs with inflated noise (train_zero --train-noise-scale)
+        self._deploy_eval_world = deploy_eval_world or world
+
         # per-iteration notification stream (reference mission :398-415
         # telegram_notifier.finished_iteration; JSONL sink here)
         self.notifier = None
@@ -189,6 +213,92 @@ class ZeroLearner:
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    # --------------------------------------- best-snapshot deploy eval
+
+    def _make_deploy_eval_fn(self):
+        """ONE jitted deploy-eval program with the network variables as
+        a runtime argument (so every iteration reuses the compile):
+        fixed held-out worlds, clean deploy search (no root noise /
+        forced playouts), temperature-0 visit argmax, floor exploration
+        constants — the deployment configuration the quality artifacts
+        use."""
+        import dataclasses
+
+        from ipp_rl_tpu.ops.geometry import travel_costs
+        from ipp_rl_tpu.planners.zero.features import init_history, push_history
+        from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS, _rand_argmax
+
+        hp = dataclasses.replace(
+            self.hp,
+            puct_init=self.hp.puct_init_min,
+            dirichlet_alpha=self.hp.dirichlet_alpha_min,
+        )
+        world, cfg = self._deploy_eval_world, self.cfg
+        mcts = ZeroMCTS(world, hp, self.mc.episode_horizon, self.predict)
+        E, T = self.deploy_eval_envs, self.deploy_eval_steps
+        dt = world.dtype
+
+        def run(variables, state0, key):
+            hist0 = jax.vmap(lambda _: init_history(cfg, hp, dt))(
+                jnp.arange(E)
+            )
+
+            def step(carry, k):
+                state, hist = carry
+                k_plan, k_meas, k_tie = jax.random.split(k, 3)
+                hist = jax.vmap(push_history)(
+                    hist,
+                    state.cov,
+                    state.pos,
+                    state.budget / jnp.asarray(cfg.constraints.budget, dt),
+                )
+                tree, _ = mcts.search(
+                    state.cov, state.mean, state.pos, state.budget, hist,
+                    k_plan, net_variables=variables,
+                    forced_playouts=False, root_noise=False,
+                )
+                visits = tree.Nsa[:, 0]
+                ties = jax.random.split(k_tie, E)
+                action = jax.vmap(_rand_argmax)(ties, visits)
+                cost = travel_costs(
+                    world.actions_xyz[action], state.pos,
+                    cfg.uav.max_v, cfg.uav.max_a,
+                )
+                can = (
+                    state.active
+                    & (state.budget >= cfg.environment.resolution)
+                    & (cost <= state.budget)
+                    & (cost > 0)
+                )
+                state = state.replace(active=can)
+                state = world.step_index(state, action, k_meas)
+                return (state, hist), None
+
+            (state, _), _ = jax.lax.scan(
+                step, (state0, hist0), jax.random.split(key, T)
+            )
+            return jnp.mean(world.evaluate(state)["uncertainty"])
+
+        return jax.jit(run)
+
+    def deploy_eval(self) -> float:
+        """Held-out deploy quality (mean final masked tr(P)) of the
+        CURRENT network on the fixed eval worlds."""
+        if self._deploy_eval_state is None:
+            self._deploy_eval_fn = self._make_deploy_eval_fn()
+            self._deploy_eval_state = self._deploy_eval_world.init_state(
+                jax.random.key(777), self.deploy_eval_envs
+            )
+        return float(
+            self._deploy_eval_fn(
+                self.state.variables(), self._deploy_eval_state,
+                jax.random.key(778),
+            )
+        )
+
+    def best_path(self) -> str:
+        return os.path.join(self.checkpoints_dir, "shared_net.best")
 
     def deployment_path(self) -> str:
         return os.path.join(
@@ -355,6 +465,22 @@ class ZeroLearner:
             )
             save_checkpoint(snap_path, self.state)
 
+            deploy_metric = None
+            if self.deploy_eval_every and (
+                iteration % self.deploy_eval_every == 0
+                or iteration == iters - 1
+            ):
+                deploy_metric = self.deploy_eval()
+                if deploy_metric < self.best_deploy_eval:
+                    self.best_deploy_eval = deploy_metric
+                    self.best_iteration = iteration
+                    save_checkpoint(self.best_path(), self.state)
+                logger.info(
+                    "iter %d: deploy eval %.2f (best %.2f @ iter %d)",
+                    iteration, deploy_metric, self.best_deploy_eval,
+                    self.best_iteration,
+                )
+
             accepted = True
             if not hp.continuous_network_update:
                 # The fused epoch runner donates the pre-training state's
@@ -378,6 +504,11 @@ class ZeroLearner:
                     selfplay_s=sp_time,
                     train_s=train_time,
                     accepted=accepted,
+                    **(
+                        {"deploy_eval": deploy_metric}
+                        if deploy_metric is not None
+                        else {}
+                    ),
                     **(metrics or {}),
                 )
             )

@@ -65,6 +65,12 @@ def main():
         "on one-hot targets — reference config/example.yaml:63-64)",
     )
     ap.add_argument(
+        "--deploy-eval-every", type=int, default=0,
+        help="run a held-out deploy eval every k iterations and keep "
+        "the best snapshot at shared_net.best (deploy quality peaks "
+        "mid-training; 0 = off)",
+    )
+    ap.add_argument(
         "--train-noise-scale", type=float, default=1.0,
         help="multiply the SELF-PLAY world's injected measurement-noise "
         "std by this factor (domain randomization; the filter's assumed "
@@ -125,6 +131,8 @@ def main():
         checkpoints_dir=os.path.join(args.out, "checkpoints"),
         log_dir=os.path.join(args.out, "logs"),
         num_envs=args.envs,
+        deploy_eval_every=args.deploy_eval_every,
+        deploy_eval_world=world,
     )
     t0 = time.time()
     learner.learn(

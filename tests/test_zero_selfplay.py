@@ -439,3 +439,37 @@ def test_train_resume(world, tmp_path):
     )
     learner4 = ZeroLearner(world, mc3, num_envs=2, **dirs)
     assert learner4._resume() == (0, False)
+
+
+@pytest.mark.slow
+def test_learner_best_snapshot_selection(world, tmp_path):
+    """deploy_eval_every tracks held-out deploy quality per iteration
+    and keeps the best snapshot at shared_net.best — deploy quality
+    peaks mid-training (docs/PERFORMANCE.md r4), so the learner must
+    not force deployment of the last iteration."""
+    import json
+    import os
+
+    from ipp_rl_tpu.planners.zero.learn import ZeroLearner
+
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP)
+    learner = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+        deploy_eval_every=1,
+        deploy_eval_envs=2,
+        deploy_eval_steps=2,
+    )
+    learner.learn(num_iterations=2, num_train_batches=2)
+    assert os.path.exists(learner.best_path())
+    assert learner.best_iteration in (0, 1)
+    rows = [
+        json.loads(l)
+        for l in open(str(tmp_path / "logs" / "train_metrics.jsonl"))
+    ]
+    evals = [r["deploy_eval"] for r in rows if "deploy_eval" in r]
+    assert len(evals) == 2 and all(e > 0 for e in evals)
+    assert learner.best_deploy_eval == min(evals)

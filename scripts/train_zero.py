@@ -141,6 +141,17 @@ def main():
     )
     logger.info("training done in %.1f min", (time.time() - t0) / 60)
 
+    if args.deploy_eval_every and os.path.exists(learner.best_path()):
+        # evaluate (and deploy) the BEST snapshot by held-out deploy
+        # eval, not the last iteration (deploy quality peaks mid-run)
+        from ipp_rl_tpu.planners.zero.learn import load_checkpoint
+
+        learner.state = load_checkpoint(learner.best_path(), learner.state)
+        logger.info(
+            "evaluating best snapshot (iter %d, deploy eval %.2f)",
+            learner.best_iteration, learner.best_deploy_eval,
+        )
+
     # -------- evaluation on held-out worlds at matched budget ----------
     # deploy with the trained weights AND the end-of-training exploration
     # constants (the reference's execute() after learn() sees the decayed

@@ -1,0 +1,143 @@
+"""Closed-loop robot deployment with a simulated UAV.
+
+The reference closes its planning loop through third-party catkin
+stacks: the latched ``WaypointsTrajectory`` goes to a C++ trajectory
+sampler and an MPC controller flying a Gazebo UAV whose camera images
+feed the mapper (reference docker-compose.yaml:3-123 — Gazebo + MPC
+services; planning/ipp_mission_node.py:22-73 publishes the plan).  This
+module provides the native equivalent so the L8 loop runs standalone:
+
+  plan (one replan step from the current belief)
+    → publish the segment as a ``WaypointsTrajectory`` message
+    → FLY it: min-snap polynomial through the segment
+      (trajgen.MavTrajectoryGenerator — the same role as the reference's
+      mav_trajectory_generation sampler + MPC tracking), sampled at the
+      UAV ``sampling_time``
+    → MEASURE at the arrival pose with the mission's sensor model
+      (lattice H/R for discrete planners; the continuous-position
+      camera model with off-lattice FoV projection for waypoint
+      planners like CMA-ES)
+    → commit the Kalman update and replan from the new belief.
+
+``ClosedLoopMission.run()`` executes that cycle until the budget is
+exhausted and returns the full flight log (per-cycle waypoints, sampled
+trajectories, budgets, masked tr(P) / RMSE curves).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ipp_rl_tpu.config.schema import Config, MissionConfig
+from ipp_rl_tpu.env.world import IPPWorld
+from ipp_rl_tpu.experiments.experiment import create_planner
+from ipp_rl_tpu.ros.mission_node import WaypointsTrajectory
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class FlightLog:
+    """Per-cycle record of the closed loop."""
+
+    waypoints: List[List[float]] = field(default_factory=list)
+    trajectories: List[List[List[float]]] = field(default_factory=list)
+    budgets: List[float] = field(default_factory=list)
+    uncertainty: List[float] = field(default_factory=list)
+    rmse: List[float] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+
+class SimulatedUAV:
+    """Kinematic UAV that flies a waypoint segment on a min-snap
+    trajectory (the role of the reference's sampler + MPC + Gazebo
+    dynamics, collapsed to exact tracking of the planned polynomial)."""
+
+    def __init__(self, uav_cfg, start: np.ndarray):
+        from ipp_rl_tpu.trajgen import MavTrajectoryGenerator
+
+        self.gen = MavTrajectoryGenerator(uav_cfg.max_v, uav_cfg.max_a)
+        self.sampling_time = uav_cfg.sampling_time
+        self.position = np.asarray(start, float)
+
+    def fly(self, waypoint: np.ndarray) -> np.ndarray:
+        """Fly from the current position to ``waypoint``; returns the
+        sampled trajectory (T, 3) and updates the position."""
+        wps = np.stack([self.position, np.asarray(waypoint, float)])
+        traj = self.gen.plan_uav_trajectory(
+            wps, sampling_time=self.sampling_time
+        )
+        traj = np.asarray(traj, float).reshape(-1, traj.shape[-1])[:, :3]
+        self.position = np.asarray(waypoint, float)
+        return traj
+
+
+class ClosedLoopMission:
+    """Adaptive replanning against a simulated robot: each cycle plans
+    ONE step from the current belief, flies it, measures at the arrival
+    pose with the continuous camera model, and commits the update."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        mission_cfg: Optional[MissionConfig] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.mission_cfg = mission_cfg or cfg.missions[0]
+        self.world = IPPWorld(cfg)
+        self.planner = create_planner(self.world, self.mission_cfg)
+        self.seed = seed
+
+    def run(self, max_cycles: int = 64) -> FlightLog:
+        world, cfg = self.world, self.cfg
+        key = jax.random.key(self.seed)
+        k_init, key = jax.random.split(key)
+        state = world.init_state(k_init, 1)
+        uav = SimulatedUAV(cfg.uav, np.asarray(state.pos[0]))
+        log = FlightLog()
+
+        def record(state):
+            m = world.evaluate(state)
+            log.budgets.append(float(state.budget[0]))
+            log.uncertainty.append(float(np.asarray(m["uncertainty"])[0]))
+            log.rmse.append(float(np.asarray(m["rmse"])[0]))
+
+        record(state)
+        for cycle in range(max_cycles):
+            if float(state.budget[0]) < cfg.environment.resolution:
+                break
+            key, k_plan = jax.random.split(key)
+            # one replan step from the current belief; the planner
+            # commits the measurement at its chosen waypoint (the same
+            # pose the simulated UAV arrives at below)
+            res = self.planner.run(
+                k_plan, batch_size=1, max_steps=1, init_state=state
+            )
+            wp = res.waypoints[0, 0]
+            if np.any(np.isnan(wp)):
+                break
+            # publish + fly the segment (message parity with the
+            # reference's latched WaypointsTrajectory)
+            traj = uav.fly(wp)
+            msg = WaypointsTrajectory(
+                max_v=cfg.uav.max_v,
+                max_a=cfg.uav.max_a,
+                sampling_time=cfg.uav.sampling_time,
+                points=[uav.position.tolist()],
+                sampled_trajectory=traj.tolist(),
+            )
+            logger.debug("cycle %d: %s", cycle, msg.to_json()[:120])
+            state = res.final_state
+            log.waypoints.append([float(x) for x in wp])
+            log.trajectories.append(traj.tolist())
+            record(state)
+        return log

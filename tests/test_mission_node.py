@@ -40,3 +40,29 @@ def test_mission_node_end_to_end(tmp_path):
     payload = json.loads(out.read_text())
     assert payload["points"] == msg.points
     assert len(payload["sampled_trajectory"]) == len(msg.sampled_trajectory)
+
+
+def test_closed_loop_mission_sim_robot(small_cfg):
+    """Native closed loop (the reference's Gazebo+MPC robot loop,
+    docker-compose.yaml:3-123, collapsed to a kinematic min-snap UAV):
+    plan one step -> fly -> measure at the arrival pose -> replan.
+    Uncertainty must fall across cycles and every flown segment must be
+    a sampled min-snap trajectory ending at the planned waypoint."""
+    import numpy as np
+
+    from ipp_rl_tpu.config.schema import MissionConfig
+    from ipp_rl_tpu.ros.sim_robot import ClosedLoopMission
+
+    mission = ClosedLoopMission(
+        small_cfg, MissionConfig(type="greedy"), seed=3
+    )
+    log = mission.run(max_cycles=5)
+    assert len(log.waypoints) >= 3
+    assert log.uncertainty[-1] < log.uncertainty[0]
+    assert log.budgets[-1] < log.budgets[0]
+    for wp, traj in zip(log.waypoints, log.trajectories):
+        traj = np.asarray(traj)
+        assert traj.shape[0] >= 2 and traj.shape[1] == 3
+        np.testing.assert_allclose(traj[-1], wp, atol=0.3)
+    # the log serializes (the loop's transport surface)
+    assert "uncertainty" in log.to_json()

@@ -83,7 +83,7 @@ class SimulatedUAV:
 class ClosedLoopMission:
     """Adaptive replanning against a simulated robot: each cycle plans
     ONE step from the current belief, flies it, measures at the arrival
-    pose with the continuous camera model, and commits the update."""
+    pose with the mission's sensor model, and commits the update."""
 
     def __init__(
         self,
@@ -141,3 +141,31 @@ class ClosedLoopMission:
             log.trajectories.append(traj.tolist())
             record(state)
         return log
+
+
+def main():  # pragma: no cover — thin CLI (exercised via docker-compose)
+    """Run the closed loop standalone and write the flight log (the
+    native replacement for the reference's rotors_simulation +
+    mav_control_rw services, reference docker-compose.yaml:88-123)."""
+    import os
+
+    from ipp_rl_tpu.config.schema import load_config
+    from ipp_rl_tpu.utils import setup_logger
+
+    setup_logger(os.environ.get("LOG_DIR", "logs"))
+    cfg = load_config(
+        os.environ.get("CONFIG_FILE_PATH", "ipp_rl_tpu/config/example.yaml")
+    )
+    mission = ClosedLoopMission(cfg)
+    log = mission.run(max_cycles=int(os.environ.get("MAX_CYCLES", "64")))
+    out = os.environ.get("FLIGHT_LOG_OUTPUT", "flight_log.json")
+    with open(out, "w") as f:
+        f.write(log.to_json())
+    logger.info(
+        "closed loop done: %d cycles, final masked tr(P) %.2f -> %s",
+        len(log.waypoints), log.uncertainty[-1], out,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

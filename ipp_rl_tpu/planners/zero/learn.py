@@ -98,6 +98,7 @@ class ZeroLearner:
         deploy_eval_envs: int = 16,
         deploy_eval_steps: int = 16,
         deploy_eval_world: Optional[IPPWorld] = None,
+        deploy_gate: float = 0.0,
     ):
         """``deploy_eval_every`` > 0 runs a small held-out deploy eval
         (fixed worlds, temperature-0 visit argmax) every k iterations
@@ -106,7 +107,17 @@ class ZeroLearner:
         episode value stays flat (docs/PERFORMANCE.md r4 diagnosis), so
         the LAST checkpoint is the wrong deployment artifact; this
         builds the snapshot-selection workflow (scripts/
-        eval_snapshots.py) into the learner."""
+        eval_snapshots.py) into the learner.
+
+        ``deploy_gate`` > 0 turns the eval from *selection* into a
+        *gate* (r5): when the current network's deploy eval exceeds
+        ``deploy_gate × best_deploy_eval`` (lower is better), the run
+        rolls the network back to the best snapshot before continuing —
+        the same accept/rollback mechanism as the reference's arena
+        (reference mcts_zero_mission.py:417-455) but driven by held-out
+        deploy quality, which is the signal that actually degrades in
+        late training (docs/PERFORMANCE.md r4 diagnosis) while self-play
+        episode value stays flat.  1.1 is a reasonable tolerance."""
         self.world = world
         self.cfg: Config = world.cfg
         self.mc = mission_cfg
@@ -194,8 +205,12 @@ class ZeroLearner:
         self.deploy_eval_steps = deploy_eval_steps
         self.best_deploy_eval = float("inf")
         self.best_iteration = -1
+        self.deploy_gate = float(deploy_gate)
         self._deploy_eval_state = None  # lazily built fixed eval worlds
         self._deploy_eval_fn = None  # compiled once, weights as argument
+        self._policy_eval_fn = None  # raw-policy (sims=0) rollout eval
+        self.best_policy_eval = float("inf")
+        self.best_policy_iteration = -1
         # selection must happen in the EXACT world even when self-play
         # runs with inflated noise (train_zero --train-noise-scale)
         self._deploy_eval_world = deploy_eval_world or world
@@ -297,8 +312,129 @@ class ZeroLearner:
             )
         )
 
+    def _make_policy_eval_fn(self):
+        """Raw-policy deploy eval: the SAME fixed held-out worlds rolled
+        out with the bare policy-net argmax (``num_mcts_simulations <= 0``
+        deployment, reference mcts_zero_mission.py:478-502) — no search
+        at all.  Near-free per iteration (T forward passes on E
+        missions), it tracks whether the learned *prior* itself plans:
+        r4 found the raw policy scored WORSE than the random planner
+        (VERDICT weak #2), so the best-raw-policy snapshot is now
+        selected explicitly (``shared_net.best_policy``)."""
+        from ipp_rl_tpu.ops.geometry import travel_costs
+        from ipp_rl_tpu.planners.zero.features import (
+            feature_planes,
+            init_history,
+            push_history,
+        )
+        from ipp_rl_tpu.planners.zero.mcts import ZeroMCTS
+
+        hp = self.hp
+        world, cfg = self._deploy_eval_world, self.cfg
+        mcts = ZeroMCTS(world, hp, self.mc.episode_horizon, self.predict)
+        E, T = self.deploy_eval_envs, self.deploy_eval_steps
+        dt = world.dtype
+
+        def run(variables, state0, key):
+            hist0 = jax.vmap(lambda _: init_history(cfg, hp, dt))(
+                jnp.arange(E)
+            )
+
+            def step(carry, k):
+                state, hist = carry
+                hist = jax.vmap(push_history)(
+                    hist,
+                    state.cov,
+                    state.pos,
+                    state.budget / jnp.asarray(cfg.constraints.budget, dt),
+                )
+                planes = jax.vmap(
+                    lambda h, m: feature_planes(world, hp, h, m)
+                )(hist, state.mean)
+                masks = jax.vmap(mcts.valid_actions)(state.pos, state.budget)
+                policy, _ = self.predict(variables, planes, masks.astype(dt))
+                action = jnp.argmax(policy * masks, axis=-1).astype(jnp.int32)
+                cost = travel_costs(
+                    world.actions_xyz[action], state.pos,
+                    cfg.uav.max_v, cfg.uav.max_a,
+                )
+                can = (
+                    state.active
+                    & (state.budget >= cfg.environment.resolution)
+                    & (cost <= state.budget)
+                    & (cost > 0)
+                )
+                state = state.replace(active=can)
+                state = world.step_index(state, action, k)
+                return (state, hist), None
+
+            (state, _), _ = jax.lax.scan(
+                step, (state0, hist0), jax.random.split(key, T)
+            )
+            return jnp.mean(world.evaluate(state)["uncertainty"])
+
+        return jax.jit(run)
+
+    def policy_eval(self) -> float:
+        """Held-out RAW-POLICY quality (mean final masked tr(P)) of the
+        current network — the sims=0 deployment mode."""
+        if self._deploy_eval_state is None:
+            self._deploy_eval_fn = self._make_deploy_eval_fn()
+            self._deploy_eval_state = self._deploy_eval_world.init_state(
+                jax.random.key(777), self.deploy_eval_envs
+            )
+        if self._policy_eval_fn is None:
+            self._policy_eval_fn = self._make_policy_eval_fn()
+        return float(
+            self._policy_eval_fn(
+                self.state.variables(), self._deploy_eval_state,
+                jax.random.key(779),
+            )
+        )
+
+    def best_policy_path(self) -> str:
+        return os.path.join(self.checkpoints_dir, "shared_net.best_policy")
+
     def best_path(self) -> str:
         return os.path.join(self.checkpoints_dir, "shared_net.best")
+
+    def _best_meta_path(self) -> str:
+        return self.best_path() + ".json"
+
+    def _save_best_meta(self):
+        """Persist best-snapshot tracking so a resumed run cannot
+        overwrite shared_net.best with a worse snapshot (ADVICE r4:
+        best_deploy_eval reset to inf on resume)."""
+        tmp = self._best_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "best_deploy_eval": self.best_deploy_eval,
+                    "best_iteration": self.best_iteration,
+                    "best_policy_eval": self.best_policy_eval,
+                    "best_policy_iteration": self.best_policy_iteration,
+                },
+                f,
+            )
+        os.replace(tmp, self._best_meta_path())
+
+    def _load_best_meta(self):
+        """Restore best-snapshot tracking (no-op if never saved)."""
+        if not os.path.exists(self._best_meta_path()):
+            return
+        try:
+            with open(self._best_meta_path()) as f:
+                meta = json.load(f)
+            self.best_deploy_eval = float(meta["best_deploy_eval"])
+            self.best_iteration = int(meta["best_iteration"])
+            self.best_policy_eval = float(meta.get("best_policy_eval", float("inf")))
+            self.best_policy_iteration = int(meta.get("best_policy_iteration", -1))
+            logger.info(
+                "restored best-snapshot tracking: %.3f @ iter %d",
+                self.best_deploy_eval, self.best_iteration,
+            )
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            logger.warning("could not restore best-snapshot meta: %s", e)
 
     def deployment_path(self) -> str:
         return os.path.join(
@@ -392,6 +528,7 @@ class ZeroLearner:
         if os.path.exists(dp):
             self.state = load_checkpoint(dp, self.state)
             logger.info("restart: loaded deployment checkpoint %s", dp)
+        self._load_best_meta()
         if not self.check_for_train_examples():
             return 0, False
         start = self.mc.train_examples_iter
@@ -465,22 +602,6 @@ class ZeroLearner:
             )
             save_checkpoint(snap_path, self.state)
 
-            deploy_metric = None
-            if self.deploy_eval_every and (
-                iteration % self.deploy_eval_every == 0
-                or iteration == iters - 1
-            ):
-                deploy_metric = self.deploy_eval()
-                if deploy_metric < self.best_deploy_eval:
-                    self.best_deploy_eval = deploy_metric
-                    self.best_iteration = iteration
-                    save_checkpoint(self.best_path(), self.state)
-                logger.info(
-                    "iter %d: deploy eval %.2f (best %.2f @ iter %d)",
-                    iteration, deploy_metric, self.best_deploy_eval,
-                    self.best_iteration,
-                )
-
             accepted = True
             if not hp.continuous_network_update:
                 # The fused epoch runner donates the pre-training state's
@@ -492,6 +613,54 @@ class ZeroLearner:
                 accepted = self.arena_gate(prev_state, arena_games)
             if accepted:
                 save_checkpoint(self.deployment_path(), self.state)
+
+            # Deploy eval AFTER the acceptance gate so a rejected (and
+            # rolled-back) iteration can never be recorded as the best
+            # deployment snapshot (ADVICE r4).
+            deploy_metric = None
+            policy_metric = None
+            deploy_rolled_back = False
+            if self.deploy_eval_every and accepted and (
+                iteration % self.deploy_eval_every == 0
+                or iteration == iters - 1
+            ):
+                # raw-policy (sims=0) eval BEFORE any gating rollback so
+                # it scores this iteration's actual weights
+                policy_metric = self.policy_eval()
+                if policy_metric < self.best_policy_eval:
+                    self.best_policy_eval = policy_metric
+                    self.best_policy_iteration = iteration
+                    save_checkpoint(self.best_policy_path(), self.state)
+                    self._save_best_meta()
+                deploy_metric = self.deploy_eval()
+                if deploy_metric < self.best_deploy_eval:
+                    self.best_deploy_eval = deploy_metric
+                    self.best_iteration = iteration
+                    save_checkpoint(self.best_path(), self.state)
+                    self._save_best_meta()
+                elif (
+                    self.deploy_gate > 0
+                    and self.best_iteration >= 0
+                    and deploy_metric > self.deploy_gate * self.best_deploy_eval
+                    and os.path.exists(self.best_path())
+                ):
+                    # deploy-quality gate (r5): the network degraded past
+                    # tolerance on the held-out worlds — roll back to the
+                    # best snapshot and continue training from there.
+                    self.state = load_checkpoint(self.best_path(), self.state)
+                    save_checkpoint(self.deployment_path(), self.state)
+                    deploy_rolled_back = True
+                    logger.info(
+                        "iter %d: deploy eval %.2f > %.2f×best %.2f — "
+                        "ROLLED BACK to best snapshot (iter %d)",
+                        iteration, deploy_metric, self.deploy_gate,
+                        self.best_deploy_eval, self.best_iteration,
+                    )
+                logger.info(
+                    "iter %d: deploy eval %.2f (best %.2f @ iter %d)",
+                    iteration, deploy_metric, self.best_deploy_eval,
+                    self.best_iteration,
+                )
 
             self._log(
                 dict(
@@ -505,7 +674,11 @@ class ZeroLearner:
                     train_s=train_time,
                     accepted=accepted,
                     **(
-                        {"deploy_eval": deploy_metric}
+                        {
+                            "deploy_eval": deploy_metric,
+                            "deploy_rolled_back": deploy_rolled_back,
+                            "policy_eval": policy_metric,
+                        }
                         if deploy_metric is not None
                         else {}
                     ),

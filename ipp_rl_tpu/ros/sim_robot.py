@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ipp_rl_tpu.config.schema import Config, MissionConfig
@@ -47,6 +48,7 @@ class FlightLog:
     """Per-cycle record of the closed loop."""
 
     waypoints: List[List[float]] = field(default_factory=list)
+    poses: List[List[float]] = field(default_factory=list)  # actual arrival
     trajectories: List[List[List[float]]] = field(default_factory=list)
     budgets: List[float] = field(default_factory=list)
     uncertainty: List[float] = field(default_factory=list)
@@ -59,24 +61,50 @@ class FlightLog:
 class SimulatedUAV:
     """Kinematic UAV that flies a waypoint segment on a min-snap
     trajectory (the role of the reference's sampler + MPC + Gazebo
-    dynamics, collapsed to exact tracking of the planned polynomial)."""
+    dynamics).
 
-    def __init__(self, uav_cfg, start: np.ndarray):
+    ``tracking_noise_std`` > 0 models the MPC/dynamics tracking error
+    the reference's Gazebo loop exhibits (reference
+    docker-compose.yaml:88-123): the arrival pose is the planned
+    min-snap endpoint plus bounded Gaussian noise (clipped at 2σ and to
+    the flight envelope) instead of exact polynomial tracking — the
+    mapper then measures at the *actual* pose and the adaptive replanner
+    has to absorb the discrepancy."""
+
+    def __init__(
+        self,
+        uav_cfg,
+        start: np.ndarray,
+        tracking_noise_std: float = 0.0,
+        bounds=None,
+        rng: Optional[np.random.Generator] = None,
+    ):
         from ipp_rl_tpu.trajgen import MavTrajectoryGenerator
 
         self.gen = MavTrajectoryGenerator(uav_cfg.max_v, uav_cfg.max_a)
         self.sampling_time = uav_cfg.sampling_time
         self.position = np.asarray(start, float)
+        self.tracking_noise_std = float(tracking_noise_std)
+        self.bounds = bounds  # (lo (3,), hi (3,)) position clamp
+        self.rng = rng or np.random.default_rng(0)
 
-    def fly(self, waypoint: np.ndarray) -> np.ndarray:
+    def fly(self, waypoint: np.ndarray):
         """Fly from the current position to ``waypoint``; returns the
-        sampled trajectory (T, 3) and updates the position."""
+        sampled trajectory (T, 3) and updates the position to the
+        (possibly noise-perturbed) arrival pose."""
         wps = np.stack([self.position, np.asarray(waypoint, float)])
         traj = self.gen.plan_uav_trajectory(
             wps, sampling_time=self.sampling_time
         )
         traj = np.asarray(traj, float).reshape(-1, traj.shape[-1])[:, :3]
-        self.position = np.asarray(waypoint, float)
+        pose = np.asarray(waypoint, float)
+        if self.tracking_noise_std > 0:
+            s = self.tracking_noise_std
+            noise = np.clip(self.rng.normal(0.0, s, 3), -2.0 * s, 2.0 * s)
+            pose = pose + noise
+            if self.bounds is not None:
+                pose = np.clip(pose, self.bounds[0], self.bounds[1])
+        self.position = pose
         return traj
 
 
@@ -90,19 +118,32 @@ class ClosedLoopMission:
         cfg: Config,
         mission_cfg: Optional[MissionConfig] = None,
         seed: int = 0,
+        tracking_noise_std: float = 0.0,
     ):
         self.cfg = cfg
         self.mission_cfg = mission_cfg or cfg.missions[0]
         self.world = IPPWorld(cfg)
         self.planner = create_planner(self.world, self.mission_cfg)
         self.seed = seed
+        self.tracking_noise_std = float(tracking_noise_std)
 
     def run(self, max_cycles: int = 64) -> FlightLog:
         world, cfg = self.world, self.cfg
         key = jax.random.key(self.seed)
         k_init, key = jax.random.split(key)
         state = world.init_state(k_init, 1)
-        uav = SimulatedUAV(cfg.uav, np.asarray(state.pos[0]))
+        env, con = cfg.environment, cfg.constraints
+        bounds = (
+            np.array([0.0, 0.0, con.min_altitude]),
+            np.array([env.extent_x, env.extent_y, con.max_altitude]),
+        )
+        uav = SimulatedUAV(
+            cfg.uav,
+            np.asarray(state.pos[0]),
+            tracking_noise_std=self.tracking_noise_std,
+            bounds=bounds,
+            rng=np.random.default_rng(self.seed),
+        )
         log = FlightLog()
 
         def record(state):
@@ -126,18 +167,33 @@ class ClosedLoopMission:
             if np.any(np.isnan(wp)):
                 break
             # publish + fly the segment (message parity with the
-            # reference's latched WaypointsTrajectory)
+            # reference's latched WaypointsTrajectory: the full planned
+            # segment, start first — ADVICE r4)
+            start = uav.position.copy()
             traj = uav.fly(wp)
             msg = WaypointsTrajectory(
                 max_v=cfg.uav.max_v,
                 max_a=cfg.uav.max_a,
                 sampling_time=cfg.uav.sampling_time,
-                points=[uav.position.tolist()],
+                points=[start.tolist(), [float(x) for x in wp]],
                 sampled_trajectory=traj.tolist(),
             )
             logger.debug("cycle %d: %s", cycle, msg.to_json()[:120])
-            state = res.final_state
+            if uav.tracking_noise_std > 0:
+                # the UAV did NOT arrive exactly at the planned waypoint:
+                # discard the planner's hypothetical commit and measure at
+                # the ACTUAL pose with the continuous camera model — the
+                # next replan starts from the belief the robot really has
+                key, k_meas = jax.random.split(key)
+                state = world.step_position(
+                    state,
+                    jnp.asarray(uav.position, world.dtype)[None],
+                    k_meas,
+                )
+            else:
+                state = res.final_state
             log.waypoints.append([float(x) for x in wp])
+            log.poses.append([float(x) for x in uav.position])
             log.trajectories.append(traj.tolist())
             record(state)
         return log
@@ -156,7 +212,10 @@ def main():  # pragma: no cover — thin CLI (exercised via docker-compose)
     cfg = load_config(
         os.environ.get("CONFIG_FILE_PATH", "ipp_rl_tpu/config/example.yaml")
     )
-    mission = ClosedLoopMission(cfg)
+    mission = ClosedLoopMission(
+        cfg,
+        tracking_noise_std=float(os.environ.get("TRACKING_NOISE_STD", "0")),
+    )
     log = mission.run(max_cycles=int(os.environ.get("MAX_CYCLES", "64")))
     out = os.environ.get("FLIGHT_LOG_OUTPUT", "flight_log.json")
     with open(out, "w") as f:

@@ -77,6 +77,13 @@ def main():
     rows = []
 
     def run(name, planner):
+        # Warm-up run first: the canonical mission scan compiles in
+        # 10-20 min on the remote compiler, so a single timed run would
+        # report compile time as replan cost (ADVICE r4).  Quality and
+        # timing both come from the second (warm) run.
+        planner.run(
+            jax.random.key(6), B, max_steps=args.max_steps, init_state=init_state
+        )
         t0 = time.time()
         res = planner.run(
             jax.random.key(7), B, max_steps=args.max_steps, init_state=init_state

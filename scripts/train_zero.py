@@ -71,6 +71,13 @@ def main():
         "mid-training; 0 = off)",
     )
     ap.add_argument(
+        "--deploy-gate", type=float, default=0.0,
+        help="with --deploy-eval-every: roll the network back to the "
+        "best snapshot whenever the current deploy eval exceeds this "
+        "factor times the best (e.g. 1.1). Fixes the late-training "
+        "collapse at the source instead of only selecting around it.",
+    )
+    ap.add_argument(
         "--train-noise-scale", type=float, default=1.0,
         help="multiply the SELF-PLAY world's injected measurement-noise "
         "std by this factor (domain randomization; the filter's assumed "
@@ -133,6 +140,7 @@ def main():
         num_envs=args.envs,
         deploy_eval_every=args.deploy_eval_every,
         deploy_eval_world=world,
+        deploy_gate=args.deploy_gate,
     )
     t0 = time.time()
     learner.learn(

@@ -473,3 +473,71 @@ def test_learner_best_snapshot_selection(world, tmp_path):
     evals = [r["deploy_eval"] for r in rows if "deploy_eval" in r]
     assert len(evals) == 2 and all(e > 0 for e in evals)
     assert learner.best_deploy_eval == min(evals)
+    # raw-policy eval runs alongside and keeps its own best snapshot (r5)
+    pevals = [r["policy_eval"] for r in rows if "policy_eval" in r]
+    assert len(pevals) == 2 and all(e > 0 for e in pevals)
+    assert learner.best_policy_eval == min(pevals)
+    assert os.path.exists(learner.best_policy_path())
+    # best tracking is persisted and restored on resume (ADVICE r4)
+    assert os.path.exists(learner._best_meta_path())
+    learner2 = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+    )
+    learner2._load_best_meta()
+    assert learner2.best_deploy_eval == learner.best_deploy_eval
+    assert learner2.best_iteration == learner.best_iteration
+    assert learner2.best_policy_eval == learner.best_policy_eval
+
+
+def test_deploy_gate_rolls_back(world, tmp_path):
+    """deploy_gate: when the current deploy eval degrades past
+    tolerance × best, the learner rolls the network back to the best
+    snapshot (the arena accept/rollback mechanism driven by held-out
+    deploy quality — fixes late-training collapse at the source)."""
+    import json
+    import os
+
+    from ipp_rl_tpu.planners.zero.learn import (
+        ZeroLearner,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    mc = MissionConfig(type="mcts_zero", episode_horizon=2, hyper_params=TINY_HP)
+    learner = ZeroLearner(
+        world,
+        mc,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        num_envs=2,
+        deploy_eval_every=1,
+        deploy_eval_envs=2,
+        deploy_eval_steps=2,
+        deploy_gate=1.1,
+    )
+    # seed a known best snapshot, then force the next eval to look bad
+    save_checkpoint(learner.best_path(), learner.state)
+    learner.best_deploy_eval = 1.0
+    learner.best_iteration = 0
+    learner.deploy_eval = lambda: 100.0  # way past 1.1 × best
+    learner.policy_eval = lambda: 50.0
+    learner.learn(num_iterations=1, num_train_batches=1)
+    best_leaves = jax.tree_util.tree_leaves(
+        load_checkpoint(learner.best_path(), learner.state).params
+    )
+    rows = [
+        json.loads(l)
+        for l in open(str(tmp_path / "logs" / "train_metrics.jsonl"))
+    ]
+    assert rows[-1]["deploy_rolled_back"] is True
+    # network state equals the best snapshot again
+    cur = jax.tree_util.tree_leaves(learner.state.params)
+    assert all(np.allclose(a, b) for a, b in zip(best_leaves, cur))
+    # and the deployment checkpoint holds the rolled-back weights
+    dep = load_checkpoint(learner.deployment_path(), learner.state)
+    dep_leaves = jax.tree_util.tree_leaves(dep.params)
+    assert all(np.allclose(a, b) for a, b in zip(best_leaves, dep_leaves))

@@ -105,7 +105,9 @@ class IPPWorld:
         # structured sweep plan (ops/kalman.kf_sweep_gains_structured):
         # rf==1 groups gather innovation/gain blocks straight from P/Q,
         # rf>1 groups stream a group-locally padded P·Hᵀ
-        plan = build_sweep_plan(t)
+        plan = build_sweep_plan(
+            t, x_dim=cfg.environment.x_dim, y_dim=cfg.environment.y_dim
+        )
         self.sweep_groups = tuple(
             {
                 "cells": None if g.cells is None else jnp.asarray(g.cells),
@@ -118,6 +120,13 @@ class IPPWorld:
             for g in plan.groups
         )
         self.sweep_perm = jnp.asarray(plan.perm)
+        # whole-batch sweep constants (ops/kalman.kf_sweep_gains_batched,
+        # the r5 redesign: window groups assemble innovation blocks from
+        # offset-diagonal planes with static slices; dense groups run as
+        # large batched GEMMs with the mission axis as the big dimension)
+        from ipp_rl_tpu.ops.kalman import prepare_batched_sweep
+
+        self.sweep_batched = prepare_batched_sweep(plan, dtype)
         # initial UAV position: corner cell centre at max altitude
         # (reference planning/missions.py:69 init_action = [2, 2, 14])
         res = cfg.environment.resolution

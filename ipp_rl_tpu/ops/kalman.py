@@ -220,6 +220,249 @@ def kf_sweep_gains_structured(
     return jnp.concatenate(gains_parts, axis=0)[perm]
 
 
+def prepare_batched_sweep(plan, dtype=jnp.float32):
+    """Device-constant bundle for :func:`kf_sweep_gains_batched` from a
+    SweepPlan with grid dims + window metadata (ops/sensor_model.py
+    ``build_sweep_plan(table, x_dim, y_dim)``).
+
+    Returns None when the plan lacks grid dims (callers fall back to the
+    vmapped per-mission structured sweep)."""
+    import numpy as np
+
+    if plan.x_dim is None or plan.y_dim is None or not plan.groups:
+        return None
+    gx, gy = plan.x_dim, plan.y_dim
+    N = gx * gy
+    groups = []
+    for g in plan.groups:
+        if g.win_radius is not None:
+            r = g.win_radius
+            F = 4 * r + 1  # relative-offset range per axis
+            K = F * F
+            # E[n, m, k] = 1 iff cell m is cell n shifted by offset k
+            offs = [
+                (dy, dx)
+                for dy in range(-2 * r, 2 * r + 1)
+                for dx in range(-2 * r, 2 * r + 1)
+            ]
+            E = np.zeros((N, N, K), np.float32)
+            ys, xs = np.divmod(np.arange(N), gx)
+            for k, (dy, dx) in enumerate(offs):
+                ok = (ys + dy >= 0) & (ys + dy < gy) & (xs + dx >= 0) & (xs + dx < gx)
+                n_ok = np.nonzero(ok)[0]
+                E[n_ok, (ys[n_ok] + dy) * gx + xs[n_ok] + dx, k] = 1.0
+            slots = [
+                (dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+            ]
+            # diag add per slot: R at centre cells whose slot cell is
+            # in-grid, 1.0 otherwise (keeps the padded block SPD)
+            R_cells = np.ones((N,), np.float64)
+            R_cells[np.asarray(g.win_centers)] = np.asarray(g.win_R)
+            R_grid = R_cells.reshape(gy, gx)
+            diag_add = np.ones((len(slots), gy, gx), np.float64)
+            for si, (dy, dx) in enumerate(slots):
+                vi = np.zeros((gy, gx), bool)
+                vi[max(0, -dy): gy - max(0, dy), max(0, -dx): gx - max(0, dx)] = True
+                diag_add[si] = np.where(vi, R_grid, 1.0)
+            groups.append(
+                {
+                    "kind": "win",
+                    "r": r,
+                    "gy": gy,
+                    "gx": gx,
+                    "slots": slots,
+                    "E": jnp.asarray(E, dtype),
+                    "diag_add": jnp.asarray(diag_add, dtype),
+                    "sel": jnp.asarray(np.asarray(g.win_centers)),
+                }
+            )
+        elif g.H is not None:
+            Ag, Mg, _ = g.H.shape
+            groups.append(
+                {
+                    "kind": "dense",
+                    "H_flat": jnp.asarray(g.H.reshape(Ag * Mg, N), dtype),
+                    "H": jnp.asarray(g.H, dtype),
+                    "R": jnp.asarray(g.R, dtype),
+                }
+            )
+        else:
+            # non-window gather group: keep the per-mission path
+            groups.append(
+                {
+                    "kind": "gather",
+                    "cells": jnp.asarray(g.cells),
+                    "R": jnp.asarray(g.R, dtype),
+                    "vv": jnp.asarray(
+                        g.valid[:, :, None] & g.valid[:, None, :], dtype
+                    ),
+                }
+            )
+    needs_q = any(gr["kind"] in ("win", "gather", "dense") for gr in groups)
+    return {
+        "groups": groups,
+        "perm": jnp.asarray(plan.perm),
+        "needs_q": needs_q,
+        "gy": gy,
+        "gx": gx,
+    }
+
+
+def _window_group_gains(P, Q, g, jitter, stream_dt, acc_dt):
+    """Gather-free rf==1 sweep: offset-diagonal planes + static slices.
+
+    Every action's innovation block is S[i, j] = P[cell_i, cell_j] over
+    the (2r+1)² window centred on its own cell.  Writing
+    D[n, k] = P[n, shift_k(n)] (computed as ONE batched one-hot
+    contraction — exact, since each output is a single P element), the
+    block entry for ALL centre cells at once is a rectangular STATIC
+    SLICE of the spatially padded D — replacing the 2·B·Ag·M² scalar
+    gathers of the P[ii,jj] path (profiled ~4 ms each at B=4096,
+    scripts/profile_sweep.py) with pure tiled data movement."""
+    B, N, _ = P.shape
+    r, gy, gx = g["r"], g["gy"], g["gx"]
+    F = 4 * r + 1
+    slots = g["slots"]
+    E = g["E"].astype(stream_dt)
+
+    def planes(M):
+        # out[n, k, b] = Σ_m E[n, m, k] · M[b, n, m]  (batch n).  E is
+        # one-hot, so each output is a SINGLE M element — exact at any
+        # dtype; emitting stream_dt keeps the (CPU-tested) BF16×BF16=BF16
+        # thunk and halves the D write under fast_math.
+        D = jax.lax.dot_general(
+            E,
+            M.astype(stream_dt),
+            dimension_numbers=(((1,), (2,)), ((0,), (1,))),
+            preferred_element_type=stream_dt,
+        ).astype(acc_dt)  # (N, K, B)
+        D = D.reshape(gy, gx, F * F, B)
+        return jnp.pad(D, ((r, r), (r, r), (0, 0), (0, 0)))
+
+    DP, DQ = planes(P), planes(Q)
+
+    def k_of(si, sj):
+        (di, dj), (di2, dj2) = slots[si], slots[sj]
+        return (di2 - di + 2 * r) * F + (dj2 - dj + 2 * r)
+
+    def entry(D, si, sj):
+        di, dj = slots[si]
+        return D[di + r: di + r + gy, dj + r: dj + r + gx, k_of(si, sj), :]
+
+    def sget(i, j):
+        e = entry(DP, i, j)
+        if i == j:
+            e = e + g["diag_add"][i][..., None].astype(acc_dt)
+            if jitter:
+                e = e + jnp.asarray(jitter, acc_dt)
+        return e
+
+    def gget(i, j):
+        return entry(DQ, i, j)
+
+    from ipp_rl_tpu.ops.smallchol import spd_trace_product
+
+    gains_grid = spd_trace_product(sget, gget, len(slots))  # (gy, gx, B)
+    return gains_grid.reshape(N, B)[g["sel"]]  # (Ag, B)
+
+
+def _dense_group_gains(P, Q, g, jitter, stream_dt, acc_dt):
+    """rf>1 sweep restructured so every contraction is a LARGE batched
+    GEMM with the mission axis as the big free dimension.
+
+    The per-mission formulation (kf_sweep_gains_structured) lowers the
+    S/G einsums to B·Ag tiny (Mg, N)×(N, Mg) matmuls plus a (N, Ag·Mg)
+    relayout — profiled at 37 ms of the 49.5 ms B=4096 replan step
+    (scripts/profile_sweep.py).  Here:
+
+      T[(a,j), b, n] = Σ_m H[(a,j), m] P[b, n, m]      one (K, M)×(B·N, M)ᵀ GEMM
+      S[a, i, j, b]  = Σ_n H[a, i, n] T[a, j, b, n]    Ag GEMMs of (Mg, N)×(N, Mg·B)
+
+    — no relayout at all (both contractions run on the operands' native
+    minor axes), and the output lands entry-major (a, i, j, b) so the
+    unrolled inverse streams contiguous B-vectors."""
+    B, N, _ = P.shape
+    Hf = g["H_flat"].astype(stream_dt)  # (Ag·Mg, N)
+    Hg = g["H"].astype(stream_dt)  # (Ag, Mg, N)
+    Ag, Mg, _ = g["H"].shape
+
+    def stage(M):
+        T = jax.lax.dot_general(
+            Hf,
+            M.astype(stream_dt),
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=stream_dt,
+        )  # (Ag·Mg, B, N)
+        T = T.reshape(Ag, Mg, B, N)  # (a, j, b, n)
+        return jax.lax.dot_general(
+            Hg,
+            T,
+            dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+            preferred_element_type=acc_dt,
+        )  # (a, i, j, b)
+
+    S_arr, G_arr = stage(P), stage(Q)
+    R = g["R"].astype(acc_dt)
+
+    def sget(i, j):
+        e = 0.5 * (S_arr[:, i, j, :] + S_arr[:, j, i, :])
+        if i == j:
+            e = e + R[:, i][:, None]
+            if jitter:
+                e = e + jnp.asarray(jitter, acc_dt)
+        return e
+
+    def gget(i, j):
+        return 0.5 * (G_arr[:, i, j, :] + G_arr[:, j, i, :])
+
+    from ipp_rl_tpu.ops.smallchol import spd_trace_product
+
+    return spd_trace_product(sget, gget, Mg)  # (Ag, B)
+
+
+def kf_sweep_gains_batched(
+    P: jnp.ndarray,
+    prep,
+    diag_mask: Optional[jnp.ndarray] = None,
+    jitter: float = 0.0,
+    fast_math: bool = False,
+) -> jnp.ndarray:
+    """Whole-batch all-action sweep: P (B, N, N), diag_mask (B, N) →
+    gains (B, A).  Matches ``vmap(kf_sweep_gains_structured)`` (tested in
+    tests/test_kalman.py) with the mission axis threaded through every
+    contraction as the large GEMM dimension instead of vmapped — the
+    r5 redesign of the headline kernel (see the per-group helpers)."""
+    B, N, _ = P.shape
+    acc_dt = P.dtype
+    stream_dt = jnp.bfloat16 if fast_math else acc_dt
+    if prep["needs_q"]:
+        Pm = P if diag_mask is None else P * diag_mask[:, None, :].astype(acc_dt)
+        Q = jnp.einsum(
+            "bnc,bcm->bnm",
+            Pm.astype(stream_dt),
+            P.astype(stream_dt),
+            preferred_element_type=acc_dt,
+        )
+    parts = []
+    for g in prep["groups"]:
+        if g["kind"] == "win":
+            parts.append(_window_group_gains(P, Q, g, jitter, stream_dt, acc_dt))
+        elif g["kind"] == "dense":
+            parts.append(_dense_group_gains(P, Q, g, jitter, stream_dt, acc_dt))
+        else:
+            # legacy gather group — vmap the per-mission path
+            group = {"cells": g["cells"], "R": g["R"], "vv": g["vv"], "H": None}
+            ag = g["cells"].shape[0]
+            gains_b = jax.vmap(
+                lambda P1, m1: kf_sweep_gains_structured(
+                    P1, (group,), jnp.arange(ag), m1, jitter, fast_math
+                )
+            )(P, diag_mask if diag_mask is not None else jnp.ones((B, N), acc_dt))
+            parts.append(gains_b.T)
+    gains = jnp.concatenate(parts, axis=0)[prep["perm"]]  # (A, B)
+    return gains.T
+
+
 def kf_sweep_gains(
     P: jnp.ndarray,
     H_all: jnp.ndarray,

@@ -147,6 +147,14 @@ class SweepGroup:
     valid: np.ndarray  # (Ag, Mg) bool
     cells: np.ndarray | None = None  # (Ag, Mg) int32 cell per row
     H: np.ndarray | None = None  # (Ag, Mg, N)
+    # Window metadata (r5 batched sweep, ops/kalman.kf_sweep_gains_batched):
+    # set when every action's measurement cells are exactly the
+    # (2r+1)×(2r+1) grid window centred on the action's cell, clipped at
+    # the grid border.  The innovation/gain blocks then assemble from
+    # offset-diagonal planes of P/Q with STATIC SLICES — no gathers.
+    win_radius: int | None = None
+    win_centers: np.ndarray | None = None  # (Ag,) int32 centre cell
+    win_R: np.ndarray | None = None  # (Ag,) scalar noise per action
 
 
 @dataclass(frozen=True)
@@ -156,23 +164,89 @@ class SweepPlan:
     groups: Tuple[SweepGroup, ...]
     perm: np.ndarray  # (A,) int32: gains_lattice = concat(group gains)[perm]
     needs_q: bool  # any gather group present → Q = P·diag(m)·P required
+    x_dim: int | None = None  # grid dims (r5 batched sweep)
+    y_dim: int | None = None
 
 
-def build_sweep_plan(table: ActionTable) -> SweepPlan:
+def _detect_window(
+    table: ActionTable, idx: np.ndarray, cells: np.ndarray, x_dim: int, y_dim: int
+):
+    """Return (radius, centers (Ag,), R (Ag,)) if every action in ``idx``
+    measures exactly the (2r+1)×(2r+1) grid window centred on its own
+    cell (clipped at the grid border) with one-hot weight-1 rows —
+    the geometry of the rf==1 lattice — else None."""
+    if len(idx) == 0:
+        return None
+    rects = table.fov_rect[idx]  # (Ag, 4): xl, xr, yu, yd
+    centers = table.lattice.cell_index[idx].astype(np.int32)
+    cy, cx = centers // x_dim, centers % x_dim
+    w = int((rects[:, 1] - rects[:, 0]).max()) + 1
+    wy = int((rects[:, 3] - rects[:, 2]).max()) + 1
+    w = max(w, wy)
+    if w % 2 != 1:
+        return None
+    r = (w - 1) // 2
+    if r < 1:
+        return None
+    ok = (
+        np.all(rects[:, 0] == np.maximum(cx - r, 0))
+        and np.all(rects[:, 1] == np.minimum(cx + r, x_dim - 1))
+        and np.all(rects[:, 2] == np.maximum(cy - r, 0))
+        and np.all(rects[:, 3] == np.minimum(cy + r, y_dim - 1))
+    )
+    if not ok:
+        return None
+    # the measured cells must be exactly the clipped window's cells
+    nm = np.asarray(table.num_meas)[idx]
+    exp = (rects[:, 1] - rects[:, 0] + 1) * (rects[:, 3] - rects[:, 2] + 1)
+    if not np.all(nm == exp):
+        return None
+    for a in range(len(idx)):
+        want = {
+            int((yy) * x_dim + xx)
+            for yy in range(rects[a, 2], rects[a, 3] + 1)
+            for xx in range(rects[a, 0], rects[a, 1] + 1)
+        }
+        got = set(int(c) for c in cells[a, : nm[a]])
+        if want != got:
+            return None
+    R = table.R_diag[idx, 0].astype(np.float64)  # all rows share the value
+    if not np.all(
+        np.where(
+            np.asarray(table.meas_valid)[idx],
+            table.R_diag[idx],
+            R[:, None],
+        )
+        == R[:, None]
+    ):
+        return None
+    return r, centers, R
+
+
+def build_sweep_plan(
+    table: ActionTable, x_dim: int | None = None, y_dim: int | None = None
+) -> SweepPlan:
     """Group actions by resolution factor; rf==1 groups become gather
-    groups (one-hot rows), rf>1 groups dense with group-local padding."""
+    groups (one-hot rows), rf>1 groups dense with group-local padding.
+
+    With grid dims given, rf==1 groups whose measurement cells are the
+    centred window pattern additionally carry window metadata for the
+    gather-free batched sweep (ops/kalman.kf_sweep_gains_batched);
+    groups mixing several FoV radii (multiple low altitudes) are split
+    per altitude level so each subgroup has one radius."""
     A = table.num_actions
     rfs = np.asarray(table.res_factor)
+    levels = np.asarray(table.lattice.altitude_level)
     groups = []
     order = []
-    for rf in sorted(set(int(r) for r in rfs)):
-        idx = np.nonzero(rfs == rf)[0].astype(np.int32)
+
+    def make_group(idx):
         mg = int(table.num_meas[idx].max())
         H_g = table.H[idx, :mg]  # (Ag, Mg, N)
         R_g = table.R_diag[idx, :mg]
         valid_g = table.meas_valid[idx, :mg]
         one_hot_ok = False
-        if rf == 1:
+        if int(rfs[idx[0]]) == 1:
             # valid rows must be exact one-hot weight-1 indicators
             row_sums = H_g.sum(axis=-1)
             row_max = H_g.max(axis=-1)
@@ -183,18 +257,43 @@ def build_sweep_plan(table: ActionTable) -> SweepPlan:
         if one_hot_ok:
             cells = np.argmax(H_g, axis=-1).astype(np.int32)
             cells = np.where(valid_g, cells, 0)
-            groups.append(
-                SweepGroup(idx=idx, R=R_g, valid=valid_g, cells=cells)
-            )
-        else:
-            groups.append(SweepGroup(idx=idx, R=R_g, valid=valid_g, H=H_g))
+            win = None
+            if x_dim is not None and y_dim is not None:
+                win = _detect_window(table, idx, cells, x_dim, y_dim)
+            if win is not None:
+                r, centers, R_a = win
+                return SweepGroup(
+                    idx=idx, R=R_g, valid=valid_g, cells=cells,
+                    win_radius=r, win_centers=centers, win_R=R_a,
+                )
+            return SweepGroup(idx=idx, R=R_g, valid=valid_g, cells=cells)
+        return SweepGroup(idx=idx, R=R_g, valid=valid_g, H=H_g)
+
+    for rf in sorted(set(int(r) for r in rfs)):
+        idx = np.nonzero(rfs == rf)[0].astype(np.int32)
+        g = make_group(idx)
+        if rf == 1 and g.cells is not None and g.win_radius is None:
+            # mixed radii? retry per altitude level
+            subs = [
+                make_group(idx[levels[idx] == lv])
+                for lv in sorted(set(int(v) for v in levels[idx]))
+            ]
+            if any(s.win_radius is not None for s in subs):
+                for s in subs:
+                    groups.append(s)
+                    order.append(s.idx)
+                continue
+        groups.append(g)
         order.append(idx)
     order = np.concatenate(order) if order else np.zeros((0,), np.int32)
     perm = np.empty((A,), dtype=np.int32)
     perm[order] = np.arange(A, dtype=np.int32)
     # perm maps lattice index -> position in the concatenated group output
     needs_q = any(g.cells is not None for g in groups)
-    return SweepPlan(groups=tuple(groups), perm=perm, needs_q=needs_q)
+    return SweepPlan(
+        groups=tuple(groups), perm=perm, needs_q=needs_q,
+        x_dim=x_dim, y_dim=y_dim,
+    )
 
 
 def build_action_table(cfg: Config) -> ActionTable:

@@ -17,23 +17,61 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def unrolled_cholesky(S: jnp.ndarray) -> list:
-    """Lower Cholesky factor of (..., M, M) SPD matrices, returned as a
-    list-of-lists of (...) batch arrays (L[i][j] for j <= i)."""
-    M = S.shape[-1]
+def cholesky_ll(S_get, M: int) -> list:
+    """Lower Cholesky factor from an ENTRY GETTER ``S_get(i, j) -> (...)
+    batch array`` (i >= j), returned as a list-of-lists L[i][j] (j <= i).
+
+    Taking entries as individually shaped arrays (instead of one stacked
+    (..., M, M) tensor) lets callers hand XLA entry vectors that are
+    CONTIGUOUS in the batch dimension — the stacked layout's [..., i, j]
+    slices are stride-M² gathers, which is where the batched unrolled
+    inverse loses an order of magnitude on TPU (see
+    docs/PERFORMANCE.md r5 sweep profile)."""
     L = [[None] * M for _ in range(M)]
     for j in range(M):
-        acc = S[..., j, j]
+        acc = S_get(j, j)
         for k in range(j):
             acc = acc - L[j][k] * L[j][k]
         L[j][j] = jnp.sqrt(jnp.maximum(acc, 1e-30))
         inv_d = 1.0 / L[j][j]
         for i in range(j + 1, M):
-            acc = S[..., i, j]
+            acc = S_get(i, j)
             for k in range(j):
                 acc = acc - L[i][k] * L[j][k]
             L[i][j] = acc * inv_d
     return L
+
+
+def unrolled_cholesky(S: jnp.ndarray) -> list:
+    """Lower Cholesky factor of (..., M, M) SPD matrices, returned as a
+    list-of-lists of (...) batch arrays (L[i][j] for j <= i)."""
+    return cholesky_ll(lambda i, j: S[..., i, j], S.shape[-1])
+
+
+def spd_trace_product(S_get, G_get, M: int) -> jnp.ndarray:
+    """tr(S⁻¹ · G) for SPD S and SYMMETRIC G, both given as entry
+    getters ``(i, j) -> (...) batch array`` with i >= j (lower triangle).
+
+    This is the whole per-action output of the all-action Kalman sweep
+    (gain_a = Σ_{ij} S⁻¹∘G, ops/kalman.py) fused into one unrolled
+    elementwise program: Cholesky → triangular inverse → Σ_{i>=j}
+    (2−δ_ij)·S⁻¹[i,j]·G[i,j], never materializing S⁻¹ (or even stacked
+    S/G tensors) in HBM."""
+    L = cholesky_ll(S_get, M)
+    Li = _invert_lower(L, M)
+    total = None
+    for i in range(M):
+        for j in range(i + 1):
+            # S⁻¹[i][j] = Σ_{k >= i} Li[k][i] · Li[k][j]   (i >= j)
+            acc = None
+            for k in range(i, M):
+                t = Li[k][i] * Li[k][j]
+                acc = t if acc is None else acc + t
+            term = acc * G_get(i, j)
+            if i != j:
+                term = term + term
+            total = term if total is None else total + term
+    return total
 
 
 def _invert_lower(L: list, M: int) -> list:

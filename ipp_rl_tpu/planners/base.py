@@ -20,7 +20,10 @@ import numpy as np
 from ipp_rl_tpu.config.schema import Config, MissionConfig
 from ipp_rl_tpu.env.world import BeliefState, IPPWorld
 from ipp_rl_tpu.ops.geometry import euclidean_distances, travel_costs
-from ipp_rl_tpu.ops.kalman import kf_sweep_gains_structured
+from ipp_rl_tpu.ops.kalman import (
+    kf_sweep_gains_batched,
+    kf_sweep_gains_structured,
+)
 from ipp_rl_tpu.ops.rewards import adaptive_mask, reward_from_gain
 
 
@@ -41,8 +44,35 @@ def sweep_rewards(world: IPPWorld, state: BeliefState, jitter: float = 0.0):
     One fused batched kernel replacing the reference's per-action process
     pool (reference planning/common/optimization.py:82-90): trace
     reduction via the whitened gain factor + cost normalization.
+
+    The whole-batch path (ops/kalman.kf_sweep_gains_batched, r5) keeps
+    the mission axis as the large GEMM dimension end-to-end; worlds
+    without batched-sweep constants fall back to the vmapped per-mission
+    structured sweep.
     """
     cfg = world.cfg
+    fast = getattr(world, "fast_sweeps", False)
+    prep = getattr(world, "sweep_batched", None)
+    if prep is not None:
+        mask = None
+        if cfg.scenario.adaptive:
+            n = state.cov.shape[-1]
+            # diagonal via a one-hot contraction (a [..., n, n] gather
+            # lowers to scalar loads on TPU; this streams P once)
+            diag = jnp.einsum(
+                "bnm,nm->bn", state.cov, jnp.eye(n, dtype=state.cov.dtype)
+            )
+            mask = adaptive_mask(
+                state.mean,
+                diag,
+                cfg.scenario.value_threshold,
+                cfg.scenario.interval_factor,
+            )
+        gains = kf_sweep_gains_batched(
+            state.cov, prep, mask, jitter, fast_math=fast
+        )
+        costs = action_costs_from(world, state.pos)
+        return reward_from_gain(gains, costs), costs
 
     def one(mean, cov, pos):
         mask = None
@@ -55,7 +85,7 @@ def sweep_rewards(world: IPPWorld, state: BeliefState, jitter: float = 0.0):
             )
         gains = kf_sweep_gains_structured(
             cov, world.sweep_groups, world.sweep_perm, mask, jitter,
-            fast_math=getattr(world, "fast_sweeps", False),
+            fast_math=fast,
         )
         costs = action_costs_from(world, pos)
         return reward_from_gain(gains, costs), costs

@@ -270,3 +270,84 @@ def test_structured_sweep_vmaps_over_batch():
         np.testing.assert_allclose(
             np.asarray(batched[b]), np.asarray(single), rtol=1e-5
         )
+
+
+def test_batched_sweep_matches_dense():
+    """kf_sweep_gains_batched (r5: window groups from offset-diagonal
+    planes + static slices, dense groups as large batched GEMMs with the
+    mission axis as the big dimension) must match the dense sweep for a
+    batch of evolving beliefs, with and without the adaptive mask, and
+    agree on the per-mission argmax under fast_math."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.ops.kalman import kf_sweep_gains_batched
+    from ipp_rl_tpu.ops.priors import gp_prior_cov
+
+    cfg = config_from_dict(
+        {"environment": {"x_dim": 10, "y_dim": 10, "resolution": 4}}
+    )
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    prep = world.sweep_batched
+    assert prep is not None
+    # the canonical lattice must exercise the window AND dense paths
+    kinds = {g["kind"] for g in prep["groups"]}
+    assert "win" in kinds and "dense" in kinds
+    H = jnp.asarray(world.table.H, jnp.float32)
+    R = jnp.asarray(world.table.R_diag, jnp.float32)
+    P0 = jnp.asarray(np.asarray(gp_prior_cov(cfg)), jnp.float32)
+    rng = np.random.default_rng(7)
+    B = 5
+    # evolve each mission's belief differently
+    Ps = []
+    P = P0
+    for b in range(B):
+        Ps.append(P)
+        for _ in range(3):
+            a = int(rng.integers(0, world.num_actions))
+            _, P = kf_update(P, jnp.zeros(100, jnp.float32), H[a], R[a], z=None)
+    Pb = jnp.stack(Ps)
+    mask = jnp.asarray((rng.random((B, 100)) > 0.4).astype(np.float32))
+    for m in (None, mask):
+        dense = np.stack(
+            [
+                np.asarray(kf_sweep_gains(Pb[b], H, R, None if m is None else m[b]))
+                for b in range(B)
+            ]
+        )
+        batched = np.asarray(kf_sweep_gains_batched(Pb, prep, m))
+        np.testing.assert_allclose(batched, dense, rtol=2e-4, atol=1e-6)
+    fast = np.asarray(kf_sweep_gains_batched(Pb, prep, None, fast_math=True))
+    dense = np.stack([np.asarray(kf_sweep_gains(Pb[b], H, R)) for b in range(B)])
+    assert np.all(np.argmax(fast, axis=1) == np.argmax(dense, axis=1))
+
+
+def test_batched_sweep_with_jitter_and_single_level():
+    """Window detection on a single-altitude (window-only) lattice and
+    jitter pass-through."""
+    from ipp_rl_tpu.config.schema import config_from_dict
+    from ipp_rl_tpu.env.world import IPPWorld
+    from ipp_rl_tpu.ops.kalman import kf_sweep_gains_batched
+    from ipp_rl_tpu.ops.priors import gp_prior_cov
+
+    cfg = config_from_dict(
+        {
+            "environment": {"x_dim": 8, "y_dim": 8, "resolution": 4},
+            "constraints": {
+                "min_altitude": 8.0, "max_altitude": 8.0, "altitude_levels": 1,
+            },
+        }
+    )
+    world = IPPWorld(cfg, dtype=jnp.float32)
+    prep = world.sweep_batched
+    assert prep is not None
+    assert any(g["kind"] == "win" for g in prep["groups"])
+    H = jnp.asarray(world.table.H, jnp.float32)
+    R = jnp.asarray(world.table.R_diag, jnp.float32)
+    P0 = jnp.asarray(np.asarray(gp_prior_cov(cfg)), jnp.float32)
+    Pb = jnp.stack([P0, 0.7 * P0])
+    for jit_ in (0.0, 1e-4):
+        dense = np.stack(
+            [np.asarray(kf_sweep_gains(Pb[b], H, R, jitter=jit_)) for b in range(2)]
+        )
+        batched = np.asarray(kf_sweep_gains_batched(Pb, prep, None, jitter=jit_))
+        np.testing.assert_allclose(batched, dense, rtol=2e-4, atol=1e-6)

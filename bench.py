@@ -136,8 +136,24 @@ def main():
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    replans_per_s = B * K / best
     ms_per_step = best / K * 1e3
+
+    # Throughput form: async-dispatch the same 10-step blocks back to
+    # back and block ONCE at the end.  The blocking per-block loop above
+    # (kept as the latency form) pays the tunnel's fixed per-dispatch
+    # overhead every block (~1.5-2 ms/step at K=10, measured by the
+    # scan-length scaling test in scripts/profile_micro.py); steady-state
+    # throughput overlaps dispatch with device work — the same
+    # methodology the train-step bench has used since r3 (CLAUDE.md:
+    # single-dispatch loops lose cross-step overlap).
+    state = block(state, jax.random.key(50))
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for r in range(args.repeats):
+        state = block(state, jax.random.key(60 + r))
+    jax.block_until_ready(state)
+    t_pipe = time.perf_counter() - t0
+    replans_per_s = B * K * args.repeats / t_pipe
 
     # north star: 4096 missions / 10 ms on 8 chips -> 51200 replans/s/chip
     target = 4096 / 0.010 / 8.0
@@ -168,9 +184,43 @@ def main():
         "ms_per_replan_step_median": round(
             sorted(times)[len(times) // 2] / K * 1e3, 3
         ),
+        "ms_per_replan_step_pipelined": round(
+            t_pipe / (K * args.repeats) * 1e3, 3
+        ),
+        "throughput_methodology": (
+            "async-dispatched 10-step blocks, single sync at the end; "
+            "ms_per_replan_step rows are the blocking latency form"
+        ),
         "repeats": len(times),
         "device": str(jax.devices()[0]),
     }
+    # BASELINE latency-form target point, driver-captured every round
+    # (VERDICT r4 weak #6: "≤10 ms @ 512 missions/chip" was an r1 side
+    # measurement): re-run the same replan block at B=512.
+    if B != 512:
+        try:
+            state512 = world.init_state(jax.random.key(10), 512)
+            state512 = block(state512, jax.random.key(11))
+            jax.block_until_ready(state512)
+            t512 = []
+            for r in range(args.repeats):
+                t0 = time.perf_counter()
+                state512 = block(state512, jax.random.key(12 + r))
+                jax.block_until_ready(state512)
+                t512.append(time.perf_counter() - t0)
+            detail["latency_512"] = {
+                "batch": 512,
+                "ms_per_replan_step": round(min(t512) / K * 1e3, 3),
+                "ms_per_replan_step_median": round(
+                    sorted(t512)[len(t512) // 2] / K * 1e3, 3
+                ),
+                "repeats": len(t512),
+                "target_ms": 10.0,
+            }
+            del state512
+        except Exception as e:  # noqa: BLE001
+            detail["latency_512"] = {"error": repr(e)[:200]}
+
     # free the greedy mission batch before the flagship measurements
     del state, block
 

@@ -290,7 +290,15 @@ class IPPWorld:
         """Take a measurement at lattice action ``action_idx`` (B,) and
         commit the belief update; masked no-op for inactive missions."""
         B = state.batch_size
-        H = self.H[action_idx]  # (B, M, N)
+        act = state.active
+        # Inactive missions: zero the measurement rows instead of
+        # where-selecting the full (N, N) covariance afterwards — H = 0
+        # makes K = P·Hᵀ·S⁻¹ = 0, so the Joseph commit returns P and the
+        # mean update returns mean EXACTLY (P is kept symmetric every
+        # commit, so the final re-symmetrization is bit-neutral).  The
+        # dropped selects were ~0.5 GB of pure HBM traffic per B=4096
+        # replan step.
+        H = self.H[action_idx] * act[:, None, None].astype(self.dtype)  # (B, M, N)
         R = self.R_diag[action_idx]
         Zmat = self.Z[action_idx]
         std = self.noise_std[action_idx]
@@ -304,14 +312,10 @@ class IPPWorld:
         cost = travel_costs(
             new_pos, state.pos, self.cfg.uav.max_v, self.cfg.uav.max_a
         )
-        act = state.active
-        keep = lambda new, old: jnp.where(
-            act.reshape((B,) + (1,) * (new.ndim - 1)), new, old
-        )
         return state.replace(
-            mean=keep(mean_next, state.mean),
-            cov=keep(cov_next, state.cov),
-            pos=keep(new_pos, state.pos),
+            mean=mean_next,
+            cov=cov_next,
+            pos=jnp.where(act[:, None], new_pos, state.pos),
             budget=jnp.where(act, state.budget - cost, state.budget),
             step=jnp.where(act, state.step + 1, state.step),
         )

@@ -85,6 +85,22 @@ def kf_gain_factor(
     return PHt @ U, S_inv
 
 
+def _small_mm(Sm: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """(…, M, M) @ (…, M, N) with the M² loop UNROLLED into broadcast
+    multiply-adds over the (N,)-planes of X — no dot_general, so under
+    vmap this is pure fused VPU work instead of another ~1–2 ms batched
+    MXU pass (see the cost model note in kf_update)."""
+    M = X.shape[-2]
+    rows = []
+    for m in range(M):
+        acc = None
+        for k in range(M):
+            t = Sm[..., m, k][..., None] * X[..., k, :]
+            acc = t if acc is None else acc + t
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
 def kf_update(
     P: jnp.ndarray,
     mean: jnp.ndarray,
@@ -110,19 +126,38 @@ def kf_update(
     observed in 24-step self-play at batch 192).  float64 difference vs
     the reference form is O(ε·cond), ~1e-13 on the canonical workload.
     """
-    PHt, S_inv = innovation_inverse(P, H, R_diag, jitter)
-    K = PHt @ S_inv  # (N, M) Kalman gain
+    # TPU cost model (measured, scripts/profile_micro.py + the scan-
+    # length scaling test): at B=4096 every vmapped GEMM costs
+    # ~0.7–2 ms almost regardless of its tiny per-mission shape, so the
+    # commit is restructured to exactly THREE batched GEMMs — A = H·P,
+    # S = A·Hᵀ, and one fused rank-3M covariance update — with all the
+    # (M, M)-sized algebra (S⁻¹·A, S·Kᵀ) UNROLLED into broadcast
+    # multiply-adds on (N,)-planes (pure VPU, fuses away).  The M axis
+    # always sits in the SUBLANE position ((M, N) layout); no
+    # (..., M)-minor array is ever materialized.  Joseph expanded (the
+    # same polynomial — chains associate):
+    #   (I−KH)·P·(I−KH)ᵀ + K·R·Kᵀ = P − K·A − Aᵀ·Kᵀ + K·S·Kᵀ
+    # with S = H·P·Hᵀ + diag(R), evaluated as one k=3M GEMM:
+    #   P' = P + [Kᵀ; A; Kᵀ]ᵀ · [−A; −Kᵀ; S·Kᵀ].
+    A = H @ P  # (M, N) = (P·Hᵀ)ᵀ — P is kept symmetric every commit
+    S = jnp.einsum("mn,kn->mk", A, H)  # H·P·Hᵀ, contraction on minor axes
+    S = 0.5 * (S + S.T) + jnp.diag(R_diag)
+    if jitter:
+        S = S + jitter * jnp.eye(S.shape[0], dtype=S.dtype)
+    S_inv = _small_spd_inverse(S)
+    KT = _small_mm(S_inv, A)  # (M, N) = Kᵀ, unrolled VPU
     if joseph:
-        n = P.shape[-1]
-        ImKH = jnp.eye(n, dtype=P.dtype) - K @ H
-        P_next = ImKH @ P @ ImKH.T + (K * R_diag[None, :]) @ K.T
+        SKT = _small_mm(S, KT)  # S·Kᵀ
+        F = jnp.concatenate([KT, A, KT], axis=0)  # (3M, N)
+        G = jnp.concatenate([-A, -KT, SKT], axis=0)
+        P_next = P + jnp.einsum("mn,mc->nc", F, G)
     else:
-        P_next = P - K @ PHt.T
+        P_next = P - jnp.einsum("mn,mc->nc", KT, A)
     P_next = 0.5 * (P_next + P_next.T)
     if z is None:
         return mean, P_next
     v = z - H @ mean
-    mean_next = mean + K @ v
+    mean_next = mean + jnp.einsum("mn,m->n", KT, v)
     return mean_next, P_next
 
 
@@ -379,17 +414,26 @@ def _dense_group_gains(P, Q, g, jitter, stream_dt, acc_dt):
       S[a, i, j, b]  = Σ_n H[a, i, n] T[a, j, b, n]    Ag GEMMs of (Mg, N)×(N, Mg·B)
 
     — no relayout at all (both contractions run on the operands' native
-    minor axes), and the output lands entry-major (a, i, j, b) so the
-    unrolled inverse streams contiguous B-vectors."""
+    minor axes), and the innovation blocks land entry-major (a, i, j, b)
+    so the unrolled inverse streams contiguous B-vectors.  The gain
+    numerator G runs the same two GEMMs against Q = P·diag(m)·P.
+
+    REJECTED alternative (measured, do not revisit): deriving G from T
+    itself via G[a,i,j,b] = Σ_n T[a,i,b,n]·m[b,n]·T[a,j,b,n] (skipping
+    stage(Q)) needs a dot_general batched over BOTH (a, b) with tiny
+    (Mg, N)×(N, Mg) per-pair problems — 409,600 near-empty MXU passes at
+    the canonical shape, profiled 35.3 ms for the group vs ~6 ms this
+    way (scripts/profile_sweep.py r5.1 run): the relayout-free big-GEMM
+    structure is worth far more than the saved Q pass."""
     B, N, _ = P.shape
     Hf = g["H_flat"].astype(stream_dt)  # (Ag·Mg, N)
     Hg = g["H"].astype(stream_dt)  # (Ag, Mg, N)
     Ag, Mg, _ = g["H"].shape
 
-    def stage(M):
+    def stage(Mat):
         T = jax.lax.dot_general(
             Hf,
-            M.astype(stream_dt),
+            Mat.astype(stream_dt),
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=stream_dt,
         )  # (Ag·Mg, B, N)
@@ -435,14 +479,19 @@ def kf_sweep_gains_batched(
     B, N, _ = P.shape
     acc_dt = P.dtype
     stream_dt = jnp.bfloat16 if fast_math else acc_dt
-    if prep["needs_q"]:
+    if any(g["kind"] in ("win", "dense") for g in prep["groups"]):
+        # Q = P·diag(m)·P, f32-accumulated, stored in the stream dtype
+        # (every consumer — the window group's offset-plane contraction
+        # and the dense group's stage GEMMs — re-casts to stream_dt
+        # anyway, so the f32 copy was pure write+read traffic; the
+        # legacy gather fallback recomputes its own Q per mission)
         Pm = P if diag_mask is None else P * diag_mask[:, None, :].astype(acc_dt)
         Q = jnp.einsum(
             "bnc,bcm->bnm",
             Pm.astype(stream_dt),
             P.astype(stream_dt),
             preferred_element_type=acc_dt,
-        )
+        ).astype(stream_dt)
     parts = []
     for g in prep["groups"]:
         if g["kind"] == "win":

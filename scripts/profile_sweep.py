@@ -1,12 +1,23 @@
 """Ablation profiler for the headline B=4096 greedy replan step.
 
 VERDICT r4 weak #1: the committed roofline claim (70% of HBM) divided
-B=4096 traffic by B=256 latency; honest numbers are 49.5 ms measured vs
-~3.3 ms ideal (~7%).  This script pins WHERE the time goes by timing
+B=4096 traffic by B=256 latency; honest numbers were 49.5 ms measured
+vs ~3.3 ms ideal (~7%).  This script pins WHERE the time goes by timing
 each component of the replan step in isolation, each wrapped in a
 K-iteration lax.scan with a live data dependency (one device dispatch
 per measurement — avoids the post-big-program per-call round-trip
-documented in CLAUDE.md).
+documented in CLAUDE.md).  K=50: the scan-length scaling test showed
+~29 ms of FIXED per-dispatch overhead through the tunnel, which
+inflated every K=10 row by ~3 ms/iter; at K=50 the bias is ~0.6 ms.
+
+r5 history it measured:
+  * r4 path (vmapped structured sweep): full step 49.5 ms = rf>1 dense
+    group 37.1 + rf==1 gather group 14.9 (P[ii,jj] scalar gathers) +
+    commit 11.4 + unrolled SPD inverse 5.9 (overlapped).
+  * r5.0 (kf_sweep_gains_batched): full 23.7 ms = sweep 16.8 +
+    commit 10.2 (dense Joseph) + Q 3.6.
+  * r5.1 (rank-M Joseph commit, dense-group G from its own T, bf16 Q):
+    run this script for the current numbers.
 
 Run on the real chip:  python scripts/profile_sweep.py [--batch 4096]
 """
@@ -25,12 +36,12 @@ from ipp_rl_tpu import load_config
 from ipp_rl_tpu.config.schema import MissionConfig
 from ipp_rl_tpu.env.world import IPPWorld
 from ipp_rl_tpu.ops import kalman
-from ipp_rl_tpu.ops.rewards import adaptive_mask, reward_from_gain
+from ipp_rl_tpu.ops.rewards import adaptive_mask
 from ipp_rl_tpu.planners import GreedyPlanner
 from ipp_rl_tpu.planners.base import action_costs_from, feasible_mask, sweep_rewards
 
 
-def scan_time(name, body, init, K=10, repeats=3):
+def scan_time(name, body, init, K=50, repeats=3):
     """Time K scanned iterations of `body` (carry -> carry) in ONE jitted
     dispatch; report ms per iteration (min over repeats)."""
 
@@ -64,11 +75,10 @@ def main():
     state = world.init_state(jax.random.key(0), B)
     P0 = state.cov
     mean0 = state.mean
+    prep = world.sweep_batched
     print(f"batch={B}  device={jax.devices()[0]}")
-    for gi, g in enumerate(world.sweep_groups):
-        kind = "gather" if g["cells"] is not None else "dense"
-        shp = (g["cells"] if g["cells"] is not None else g["H"]).shape
-        print(f"  group {gi}: {kind} {shp}")
+    for gi, g in enumerate(prep["groups"]):
+        print(f"  group {gi}: {g['kind']}")
 
     # ---- full replan step (the bench step) --------------------------------
     def full_step(carry):
@@ -98,71 +108,140 @@ def main():
         st = world.step_index(st, action, k_meas)
         return (st, key)
 
-    scan_time("step_index commit (fixed action)", commit_only, (state, jax.random.key(2)))
+    t_commit = scan_time(
+        "step_index commit (fixed action)", commit_only, (state, jax.random.key(2))
+    )
 
-    # ---- pieces of the structured sweep ----------------------------------
+    # ---- pieces of the batched sweep (the r5 default path) ----------------
     mask0 = jax.vmap(
         lambda m, P: adaptive_mask(
             m, jnp.diag(P), cfg.scenario.value_threshold, cfg.scenario.interval_factor
         )
     )(mean0, P0)
+    stream_dt = jnp.bfloat16
+    acc_dt = P0.dtype
 
     def q_only(carry):
         P, mask = carry
         Pm = P * mask[:, None, :]
-        Q = jnp.einsum("bnk,bkm->bnm", Pm, P)
-        return (P + 1e-12 * Q[:, :1, :1], mask)
+        Q = jnp.einsum(
+            "bnc,bcm->bnm",
+            Pm.astype(stream_dt),
+            P.astype(stream_dt),
+            preferred_element_type=acc_dt,
+        ).astype(stream_dt)
+        return (P + 1e-12 * Q[:, :1, :1].astype(acc_dt), mask)
 
-    scan_time("Q = P·diag(m)·P matmul", q_only, (P0, mask0))
+    scan_time("Q = P·diag(m)·P (bf16 out)", q_only, (P0, mask0))
 
-    groups = world.sweep_groups
-    gather_groups = [g for g in groups if g["cells"] is not None]
-    dense_groups = [g for g in groups if g["cells"] is None]
+    win_groups = [g for g in prep["groups"] if g["kind"] == "win"]
+    dense_groups = [g for g in prep["groups"] if g["kind"] == "dense"]
 
-    def run_groups(P, mask, use_groups, with_q):
-        def one(P1, m1):
-            gains = kalman.kf_sweep_gains_structured(
-                P1,
-                use_groups,
-                jnp.arange(sum((g["R"].shape[0] for g in use_groups))),
-                m1,
-                0.0,
-                fast_math=True,
-            )
-            return gains
+    if win_groups:
 
-        return jax.vmap(one)(P, mask)
-
-    if gather_groups:
-
-        def gather_grp(carry):
+        def win_grp(carry):
             P, mask = carry
-            g = run_groups(P, mask, gather_groups, True)
+            Pm = P * mask[:, None, :]
+            Q = jnp.einsum(
+                "bnc,bcm->bnm",
+                Pm.astype(stream_dt),
+                P.astype(stream_dt),
+                preferred_element_type=acc_dt,
+            ).astype(stream_dt)
+            g = kalman._window_group_gains(
+                P, Q, win_groups[0], 0.0, stream_dt, acc_dt
+            )
             return (P + 1e-12 * jnp.sum(g), mask)
 
-        scan_time("rf==1 gather group (incl Q)", gather_grp, (P0, mask0))
-
-        # the raw P[ii,jj] extraction alone, no Q, no inverse
-        g0 = gather_groups[0]
-        cells = g0["cells"]
-        ii = cells[:, :, None]
-        jj = cells[:, None, :]
-
-        def raw_gather(carry):
-            P, mask = carry
-            S = jax.vmap(lambda P1: P1[ii, jj])(P)
-            return (P + 1e-12 * jnp.sum(S), mask)
-
-        scan_time("raw P[ii,jj] extraction x1", raw_gather, (P0, mask0))
+        scan_time("window group (incl Q)", win_grp, (P0, mask0))
 
     if dense_groups:
 
         def dense_grp(carry):
             P, mask = carry
-            g = run_groups(P, mask, dense_groups, False)
+            Pm = P * mask[:, None, :]
+            Q = jnp.einsum(
+                "bnc,bcm->bnm",
+                Pm.astype(stream_dt),
+                P.astype(stream_dt),
+                preferred_element_type=acc_dt,
+            ).astype(stream_dt)
+            g = kalman._dense_group_gains(
+                P, Q, dense_groups[0], 0.0, stream_dt, acc_dt
+            )
             return (P + 1e-12 * jnp.sum(g), mask)
 
-        scan_time("rf>1 dense group", dense_grp, (P0, mask0))
+        scan_time("dense group (incl Q)", dense_grp, (P0, mask0))
+
+        # --- intra-dense ablation -----------------------------------
+        gd = dense_groups[0]
+        Hf_c = gd["H_flat"].astype(stream_dt)
+        Hg_c = gd["H"].astype(stream_dt)
+        Ag, Mg, Nn = gd["H"].shape
+
+        def d_stage1(carry):
+            P, mask = carry
+            T = jax.lax.dot_general(
+                Hf_c, P.astype(stream_dt),
+                dimension_numbers=(((1,), (2,)), ((), ())),
+                preferred_element_type=stream_dt,
+            )
+            return (P + 1e-12 * T[0].astype(acc_dt)[:, :, None], mask)
+
+        scan_time("dense stage1 only (T=Hf·P)", d_stage1, (P0, mask0))
+
+        def d_stage12(carry):
+            P, mask = carry
+            T = jax.lax.dot_general(
+                Hf_c, P.astype(stream_dt),
+                dimension_numbers=(((1,), (2,)), ((), ())),
+                preferred_element_type=stream_dt,
+            ).reshape(Ag, Mg, B, Nn)
+            S_arr = jax.lax.dot_general(
+                Hg_c, T,
+                dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+                preferred_element_type=acc_dt,
+            )
+            return (P + 1e-12 * S_arr[0, 0, 0, :, None, None], mask)
+
+        scan_time("dense stage1+2 (S only)", d_stage12, (P0, mask0))
+
+        # trace product on fixed S/G entry planes
+        from ipp_rl_tpu.ops.smallchol import spd_trace_product
+
+        S_fix = (
+            0.1 * jax.random.normal(jax.random.key(9), (Ag, Mg, Mg, B), acc_dt)
+        )
+        S_fix = 0.5 * (S_fix + jnp.swapaxes(S_fix, 1, 2))
+        S_fix = S_fix + 9.0 * jnp.eye(Mg, dtype=acc_dt)[None, :, :, None]
+
+        def d_trace(carry):
+            S, bump = carry
+            g = spd_trace_product(
+                lambda i, j: S[:, i, j, :] + bump,
+                lambda i, j: S[:, j, i, :],
+                Mg,
+            )
+            return (S, bump + 1e-12 * jnp.mean(g))
+
+        scan_time(
+            "dense spd_trace_product only", d_trace, (S_fix, jnp.float32(0.0))
+        )
+
+    # ---- commit pieces ----------------------------------------------------
+    action0 = jnp.zeros((B,), jnp.int32)
+
+    def commit_kf_only(carry):
+        P, key = carry
+        k, key = jax.random.split(key)
+        H = world.H[action0]
+        R = world.R_diag[action0]
+        _, P_next = jax.vmap(
+            lambda P1, h, r: kalman.kf_update(P1, jnp.zeros(P1.shape[0], P1.dtype), h, r)
+        )(P, H, R)
+        return (P_next, key)
+
+    scan_time("vmapped kf_update (rank-M Joseph)", commit_kf_only, (P0, jax.random.key(3)))
 
     # ---- small-SPD inverse at the sweep's real shape ----------------------
     A_tot = world.num_actions
@@ -196,7 +275,7 @@ def main():
 
     scan_time("adaptive_mask+costs+feasible+argmax", mask_cost, state)
 
-    print(f"\nfull={t_full:.2f} ms, sweep={t_sweep:.2f} ms")
+    print(f"\nfull={t_full:.2f} ms, sweep={t_sweep:.2f} ms, commit={t_commit:.2f} ms")
 
 
 if __name__ == "__main__":

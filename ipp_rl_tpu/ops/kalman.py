@@ -85,6 +85,31 @@ def kf_gain_factor(
     return PHt @ U, S_inv
 
 
+def kf_gain_factor_t(
+    P: jnp.ndarray, H: jnp.ndarray, R_diag: jnp.ndarray, jitter: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed-layout whitened gain factor: (Wcᵀ (M, N), S⁻¹) with
+    Wc·Wcᵀ = P·Hᵀ·S⁻¹·H·P — same algebra as :func:`kf_gain_factor`, in
+    the TPU-native layout (see the cost-model note in kf_update: the M=9
+    axis must stay in the SUBLANE position; vmapped GEMMs that read or
+    write (..., M)-minor arrays cost ~1–2 ms each at large batch).  One
+    batched GEMM (A = H·P); all (M, M) algebra is unrolled VPU work.
+
+    Per-cell variance reduction: Σ_m Wcᵀ[m, n]² (axis −2); child
+    covariance: P − einsum("mn,mc->nc", Wcᵀ, Wcᵀ)."""
+    from ipp_rl_tpu.ops.smallchol import spd_cholesky_dense
+
+    A = H @ P  # (M, N) — P is symmetric for every caller
+    S = jnp.einsum("mn,kn->mk", A, H)
+    S = 0.5 * (S + S.T) + jnp.diag(R_diag)
+    if jitter:
+        S = S + jitter * jnp.eye(S.shape[0], dtype=S.dtype)
+    S_inv = _small_spd_inverse(S)
+    U = spd_cholesky_dense(S_inv)  # lower, U·Uᵀ = S⁻¹
+    WcT = _small_mm(jnp.swapaxes(U, -1, -2), A)  # Uᵀ·A = Wcᵀ
+    return WcT, S_inv
+
+
 def _small_mm(Sm: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """(…, M, M) @ (…, M, N) with the M² loop UNROLLED into broadcast
     multiply-adds over the (N,)-planes of X — no dot_general, so under

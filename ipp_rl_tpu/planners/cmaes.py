@@ -182,20 +182,20 @@ class CMAESPlanner(Planner):
             )
 
         def body(carry, wp_cost):
-            from ipp_rl_tpu.ops.kalman import kf_gain_factor
+            from ipp_rl_tpu.ops.kalman import kf_gain_factor_t
 
             P, prev, rem, total, alive = carry
             wp, cost = wp_cost
             alive = alive & (cost <= rem)
             Hm, R, _, _ = world.measurement_model_at(wp)
-            Wc, _ = kf_gain_factor(P, Hm, R)
-            sq = jnp.sum(Wc * Wc, axis=-1)
+            Wc, _ = kf_gain_factor_t(P, Hm, R)  # (M, N) transposed layout
+            sq = jnp.sum(Wc * Wc, axis=-2)
             if dm is not None:
                 sq = sq * dm
             gain = jnp.sum(sq)
             reward = gain / (cost + 1.0)
             total = total + jnp.where(alive, reward * (cost + 1.0), 0.0)
-            P = jnp.where(alive, P - Wc @ Wc.T, P)
+            P = jnp.where(alive, P - jnp.einsum("mn,mc->nc", Wc, Wc), P)
             rem = jnp.where(alive, rem - cost, rem)
             return (P, wp, rem, total, alive), None
 

@@ -43,7 +43,7 @@ class CTree(NamedTuple):
 
     parent: jnp.ndarray  # (C,) int32
     action_in: jnp.ndarray  # (C,) int32
-    wc_in: jnp.ndarray  # (C, N, M)
+    wc_in: jnp.ndarray  # (C, M, N) — transposed factor layout
     budget: jnp.ndarray  # (C,)
     visits: jnp.ndarray  # (C,)
     value_sum: jnp.ndarray  # (C,)
@@ -101,16 +101,17 @@ class ClassicMCTSPlanner(Planner):
         return gains / (costs + 1.0), costs
 
     def _edge(self, P, a, mean):
-        """(Wc, gain) for taking action a from covariance P."""
-        from ipp_rl_tpu.ops.kalman import kf_gain_factor
+        """(Wcᵀ (M, N), gain) for taking action a from covariance P
+        (transposed factor layout, ops/kalman TPU cost model)."""
+        from ipp_rl_tpu.ops.kalman import kf_gain_factor_t
 
         w = self.world
-        Wc, _ = kf_gain_factor(P, w.H[a], w.R_diag[a])
-        sq = jnp.sum(Wc * Wc, axis=-1)
+        WcT, _ = kf_gain_factor_t(P, w.H[a], w.R_diag[a])
+        sq = jnp.sum(WcT * WcT, axis=-2)
         dm = self._diag_mask(mean, P)
         if dm is not None:
             sq = sq * dm
-        return Wc, jnp.sum(sq)
+        return WcT, jnp.sum(sq)
 
     def _policy_action(
         self, P, pos, budget, mean, eps, key, gcb: bool
@@ -150,7 +151,7 @@ class ClassicMCTSPlanner(Planner):
             )
             reward = gain / (cost + 1.0)
             G = G + jnp.where(alive, disc * reward, 0.0)
-            P = jnp.where(alive, P - Wc @ Wc.T, P)
+            P = jnp.where(alive, P - jnp.einsum("mn,mc->nc", Wc, Wc), P)
             pos = jnp.where(alive, self.world.actions_xyz[a], pos)
             budget = jnp.where(alive, budget - cost, budget)
             return (P, pos, budget, depth + 1, G, disc * self.gamma, alive), None
@@ -289,7 +290,8 @@ class ClassicMCTSPlanner(Planner):
             child = jnp.where(do_widen, new_idx, child_sel)
 
             move = ~done
-            P_next = jnp.where(move, c.P - tree.wc_in[child] @ tree.wc_in[child].T, c.P)
+            w_in = tree.wc_in[child]  # (M, N)
+            P_next = jnp.where(move, c.P - jnp.einsum("mn,mc->nc", w_in, w_in), c.P)
             return Carry(
                 tree=tree,
                 node=jnp.where(move, child, c.node),
@@ -379,7 +381,7 @@ class ClassicMCTSPlanner(Planner):
             tree = CTree(
                 parent=jnp.full((C,), NO_NODE),
                 action_in=jnp.full((C,), NO_NODE),
-                wc_in=jnp.zeros((C, n, m), dt),
+                wc_in=jnp.zeros((C, m, n), dt),
                 budget=jnp.zeros((C,), dt).at[0].set(budget),
                 visits=jnp.zeros((C,), dt),
                 value_sum=jnp.zeros((C,), dt),

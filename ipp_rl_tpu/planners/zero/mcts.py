@@ -11,7 +11,7 @@ the whole search is ONE jitted program over a mission batch:
     path-keyed here; since the hash key ignores position/budget anyway,
     path-keying is the more correct variant (documented deviation).
   * covariance states are never stored per node.  Each tree edge stores
-    its rank-M whitened gain factor Wc (P_child = P_parent − Wc·Wcᵀ),
+    its rank-M whitened gain factor Wcᵀ (P_child = P_parent − Wc·Wcᵀ),
     and the running covariance is reconstructed incrementally during
     descent — 4 MB/mission/tree collapses to ~360 KB (SURVEY.md §7.5).
   * network inference is inlined: all missions' leaf evaluations fuse
@@ -56,7 +56,8 @@ class Tree(NamedTuple):
     parent: jnp.ndarray  # (C,) int32
     action_in: jnp.ndarray  # (C,) int32 — lattice action taken from parent
     reward_in: jnp.ndarray  # (C,) — edge reward (info gain / cost+1)
-    wc_in: jnp.ndarray  # (C, N, M) — edge whitened gain factor
+    wc_in: jnp.ndarray  # (C, M, N) — edge whitened gain factor, transposed
+    # layout: the M=9 axis in the sublane position (ops/kalman cost model)
     budget: jnp.ndarray  # (C,) — remaining budget at node
     depth: jnp.ndarray  # (C,) int32
     expanded: jnp.ndarray  # (C,) bool — network-evaluated
@@ -80,7 +81,7 @@ def init_tree(
         parent=jnp.full((c,), NO_CHILD),
         action_in=jnp.full((c,), ROOT_ACTION),
         reward_in=jnp.zeros((c,), dtype),
-        wc_in=jnp.zeros((c, n, m), edge_dtype or dtype),
+        wc_in=jnp.zeros((c, m, n), edge_dtype or dtype),
         budget=jnp.zeros((c,), dtype),
         depth=jnp.zeros((c,), jnp.int32),
         expanded=jnp.zeros((c,), bool),
@@ -150,7 +151,7 @@ class ZeroMCTS:
         eval_chunk: int = 0,
     ):
         """``edge_dtype`` (e.g. jnp.bfloat16) stores the per-edge whitened
-        gain factors Wc at half width — the dominant tree array (C, N, M);
+        gain factors Wcᵀ at half width — the dominant tree array (C, M, N);
         descent casts back to the tree dtype, and the edge reward is
         computed from the *rounded* factor so the backed-up gains stay
         consistent with the reconstructed covariances.
@@ -187,22 +188,23 @@ class ZeroMCTS:
         self, P: jnp.ndarray, a: jnp.ndarray, diag_mask: Optional[jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """KF covariance-only update for action ``a`` against running
-        covariance P: returns (Wc (N, M), gain) — one simulate_prediction_step
+        covariance P: returns (Wcᵀ (M, N), gain) — one simulate_prediction_step
         (reference planning/common/optimization.py:14-30).  Uses the
-        unrolled small-SPD path (no sequential solves in the sim loop)."""
-        from ipp_rl_tpu.ops.kalman import kf_gain_factor
+        unrolled small-SPD path (no sequential solves in the sim loop);
+        transposed factor layout per the ops/kalman TPU cost model."""
+        from ipp_rl_tpu.ops.kalman import kf_gain_factor_t
 
         H = self.world.H[a]  # (M, N)
         R = self.world.R_diag[a]
-        Wc, _ = kf_gain_factor(P, H, R)
+        WcT, _ = kf_gain_factor_t(P, H, R)
         if self.edge_dtype is not None and self.edge_dtype != P.dtype:
             # round-trip through the storage dtype so the gain backed up
             # along the path matches the covariance the descent rebuilds
-            Wc = Wc.astype(self.edge_dtype).astype(P.dtype)
-        sq = jnp.sum(Wc * Wc, axis=-1)  # (N,)
+            WcT = WcT.astype(self.edge_dtype).astype(P.dtype)
+        sq = jnp.sum(WcT * WcT, axis=-2)  # (N,)
         if diag_mask is not None:
             sq = sq * diag_mask
-        return Wc, jnp.sum(sq)
+        return WcT, jnp.sum(sq)
 
     def puct(
         self,
@@ -293,7 +295,7 @@ class ZeroMCTS:
         a = _rand_argmax(k_sel, uct)
 
         # edge dynamics (discarded when done — masked below)
-        Wc, gain = self.edge_update(c.P, a, diag_mask)
+        WcT, gain = self.edge_update(c.P, a, diag_mask)
         cost = _flight_cost(self.world, c.prev_pos, a).astype(dt)
         reward = gain / (cost + 1.0)
 
@@ -315,7 +317,7 @@ class ZeroMCTS:
             parent=tree.parent.at[w_idx].set(c.node),
             action_in=tree.action_in.at[w_idx].set(a),
             reward_in=tree.reward_in.at[w_idx].set(reward),
-            wc_in=tree.wc_in.at[w_idx].set(Wc.astype(tree.wc_in.dtype)),
+            wc_in=tree.wc_in.at[w_idx].set(WcT.astype(tree.wc_in.dtype)),
             budget=tree.budget.at[w_idx].set(c.budget - cost),
             depth=tree.depth.at[w_idx].set(c.depth + 1),
             children=tree.children.at[c.node, a].set(child_entry),
@@ -324,8 +326,8 @@ class ZeroMCTS:
 
         # move into child, subtract the edge factor from running P
         move = ~done
-        w = tree.wc_in[child].astype(c.P.dtype)
-        P_next = jnp.where(move, c.P - w @ w.T, c.P)
+        w = tree.wc_in[child].astype(c.P.dtype)  # (M, N)
+        P_next = jnp.where(move, c.P - jnp.einsum("mn,mc->nc", w, w), c.P)
         budget_next = jnp.where(move, tree.budget[child], c.budget)
 
         return DescentCarry(

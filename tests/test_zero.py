@@ -144,10 +144,10 @@ def test_edge_factors_consistent(small_cfg, hp, world):
     state = world.init_state(jax.random.key(7), 1)
     P = state.cov[0]
     a = jnp.int32(5)
-    Wc, gain = mcts.edge_update(P, a, None)
+    WcT, gain = mcts.edge_update(P, a, None)  # (M, N) transposed layout
     _, P_ref = kf_update(P, state.mean[0], world.H[a], world.R_diag[a], z=None)
     np.testing.assert_allclose(
-        np.asarray(P - Wc @ Wc.T), np.asarray(P_ref), atol=1e-10
+        np.asarray(P - WcT.T @ WcT), np.asarray(P_ref), atol=1e-10
     )
     np.testing.assert_allclose(
         float(gain), float(jnp.trace(P) - jnp.trace(P_ref)), rtol=1e-9

@@ -201,6 +201,14 @@ class MCTSZeroHyperParams:
     reward_loss_coeff: float = 1.0
     reconstruction_loss_coeff: float = 1.0
     entropy_regularization_coeff: float = 0.0
+    # r5 extension (default off = reference behavior): blend the STORED
+    # policy target with the uniform-over-valid distribution,
+    # π_target = (1−ε)·π_visits + ε·u_valid, leaving the self-play
+    # SAMPLING distribution untouched.  Counteracts the measured
+    # π-target entropy collapse (1.95→1.56 over a canonical run,
+    # docs/PERFORMANCE.md r4 diagnosis) that leaves the raw prior
+    # worse than random at deploy (VERDICT r4 weak #2).
+    policy_target_smoothing: float = 0.0
     dirichlet_alpha: float = 1.0
     dirichlet_alpha_decay: float = 0.8
     dirichlet_alpha_min: float = 0.3

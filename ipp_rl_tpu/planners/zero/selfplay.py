@@ -186,6 +186,18 @@ class SelfPlay:
                 jnp.int32
             )
 
+            # stored TARGET may be entropy-smoothed (opt-in, schema
+            # policy_target_smoothing); the sampling above always uses
+            # the un-smoothed reference distribution
+            policy_target = policy
+            if hp.policy_target_smoothing > 0.0:
+                eps = jnp.asarray(hp.policy_target_smoothing, dt)
+                nvalid = jnp.maximum(
+                    jnp.sum(root_mask.astype(dt), axis=-1, keepdims=True), 1.0
+                )
+                uniform = root_mask.astype(dt) / nvalid
+                policy_target = (1.0 - eps) * policy + eps * uniform
+
             # simulated 1-step reward BEFORE committing (reference :137-144)
             diag_masks = None
             if cfg.scenario.adaptive:
@@ -212,7 +224,7 @@ class SelfPlay:
                 mean=state.mean,
                 prev_pos=state.pos,
                 budget=state.budget,
-                policy=policy,
+                policy=policy_target,
                 valid_mask=root_mask,
                 reward=jnp.where(running, reward, 0.0),
                 sample_ok=running & (jnp.sum(root_mask, axis=-1) > 0),

@@ -96,6 +96,12 @@ def main():
         "state) — see schema.unfloored_value_head",
     )
     ap.add_argument(
+        "--policy-smoothing", type=float, default=0.0,
+        help="blend the stored policy TARGET with uniform-over-valid "
+        "(pi <- (1-eps) pi + eps u); sampling unchanged. Counteracts "
+        "pi-target entropy collapse (schema.policy_target_smoothing)",
+    )
+    ap.add_argument(
         "--eval-untrained", action="store_true",
         help="also evaluate the search with freshly initialized weights "
         "(control: separates what search contributes from what training adds)",
@@ -122,6 +128,7 @@ def main():
         puct_init_min=min(4.0, args.puct_init),
         max_valid_action_distance=11.5,
         unfloored_value_head=args.unfloored_value_head,
+        policy_target_smoothing=args.policy_smoothing,
     )
     mc = MissionConfig(type="mcts_zero", episode_horizon=5, hyper_params=hp)
     world = IPPWorld(cfg, fast_sweeps=True)

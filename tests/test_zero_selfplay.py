@@ -541,3 +541,28 @@ def test_deploy_gate_rolls_back(world, tmp_path):
     dep = load_checkpoint(learner.deployment_path(), learner.state)
     dep_leaves = jax.tree_util.tree_leaves(dep.params)
     assert all(np.allclose(a, b) for a, b in zip(best_leaves, dep_leaves))
+
+
+def test_policy_target_smoothing(world, net_and_state):
+    """policy_target_smoothing blends the STORED target toward uniform-
+    over-valid (higher entropy) while keeping it a valid masked
+    distribution; default 0.0 is the reference behavior (r5 extension,
+    schema.policy_target_smoothing)."""
+    import dataclasses
+
+    net, state = net_and_state
+    hp_s = dataclasses.replace(TINY_HP, policy_target_smoothing=0.5)
+    mcts = ZeroMCTS(world, hp_s, episode_horizon=2, predict_fn=predict_fn(net))
+    sp = SelfPlay(world, hp_s, episode_horizon=2, mcts=mcts)
+    traj, _ = sp.run(jax.random.key(1), num_envs=2, net_variables=state.variables())
+    traj = jax.tree_util.tree_map(np.asarray, traj)
+    ok = traj.sample_ok
+    assert ok.any()
+    pol = traj.policy[ok]
+    msk = traj.valid_mask[ok]
+    np.testing.assert_allclose(pol.sum(axis=-1), 1.0, rtol=1e-4)
+    assert np.all(pol[msk == 0] == 0)
+    # every valid action carries at least eps/|valid| mass
+    nvalid = msk.sum(axis=-1, keepdims=True)
+    floor = 0.5 / nvalid - 1e-6
+    assert np.all(pol[msk > 0] >= np.broadcast_to(floor, pol.shape)[msk > 0])

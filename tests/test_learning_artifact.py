@@ -65,12 +65,21 @@ def test_uncertainty_curve_monotone_decreasing(eval_table):
     assert all(b <= a + 1e-6 for a, b in zip(curve, curve[1:]))
 
 
-def test_r4_flagship_checkpoint_loads_and_plans():
-    """The committed r4 flagship checkpoint (runs/zero_canon_r4_best —
-    canonical 128ch/10-block net, unfloored value head, selected by
-    held-out deploy eval; parity rows in runs/parity_b200) must load
-    into the current network definition and drive a few deploy replan
-    steps end to end."""
+@pytest.mark.parametrize(
+    "run_dir,channels,blocks",
+    [
+        ("zero_canon_r4_best", 128, 10),
+        # r5 flagship: 64ch/6-block gated run (deploy-quality rollback
+        # gate + policy-target smoothing); parity rows in
+        # runs/parity_b200 (100 sims) and runs/parity_b200_sims200
+        ("zero_canon_r5_best", 64, 6),
+    ],
+)
+def test_flagship_checkpoint_loads_and_plans(run_dir, channels, blocks):
+    """Every committed flagship checkpoint (selected by held-out deploy
+    eval; parity rows in runs/parity_b200*) must load into the current
+    network definition and drive a few deploy replan steps end to
+    end."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,11 +92,11 @@ def test_r4_flagship_checkpoint_loads_and_plans():
     from ipp_rl_tpu.planners.zero.train import init_train_state, predict_fn
 
     ckpt = os.path.join(
-        os.path.dirname(__file__), "..", "runs", "zero_canon_r4_best",
+        os.path.dirname(__file__), "..", "runs", run_dir,
         "checkpoints", "shared_net.trained_model.ckpt",
     )
     if not os.path.exists(ckpt):
-        pytest.skip("no committed r4 flagship checkpoint")
+        pytest.skip(f"no committed flagship checkpoint in {run_dir}")
     cfg = load_config(
         os.path.join(
             os.path.dirname(__file__), "..", "ipp_rl_tpu/config/example.yaml"
@@ -95,8 +104,9 @@ def test_r4_flagship_checkpoint_loads_and_plans():
     )
     hp = MCTSZeroHyperParams(
         num_mcts_simulations=4,  # tiny search: loadability + deploy path
-        num_channels=128,
-        num_encoder_res_blocks=10,
+        num_channels=channels,
+        num_encoder_res_blocks=blocks,
+        num_global_pooling_channels=min(32, channels // 2),
         max_valid_action_distance=11.5,
         puct_init=4.0,
         dirichlet_alpha=0.3,

@@ -109,13 +109,16 @@ def test_parity_canonical_budget(parity_b200, planner):
 
 
 def test_zero_quality_canonical_budget(parity_b200):
-    """Trained zero at its training budget (200), held to the
-    reference's claim (README.md:15-16): masked tr(P) within 2x of the
-    reference classic MCTS row and RMSE within 1.25x of it.  A
+    """Trained zero at its training budget (200) AND the reference's
+    canonical 100 deploy simulations (config/example.yaml:61), held to
+    the reference's on-par claim (README.md:15-16) at the same
+    tolerance as the planner parity gates: masked tr(P) within 1.1x+1.0
+    of the reference classic MCTS row (r5 artifact: 4.65 vs 3.61 at
+    n=10, ratio 1.29x; the r4 gate was 2.0x) and RMSE within 1.25x.  A
     near-random policy (~38 masked tr(P)) fails by ~8x."""
     z = parity_b200["planners"]["zero"]["ours"]
     m = parity_b200["planners"]["mcts"]["reference"]
-    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 2.0, (
+    assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 1.1 + 1.0, (
         f"zero tr(P) {z['uncertainty_final'][0]:.2f} vs ref MCTS "
         f"{m['uncertainty_final'][0]:.2f}"
     )
@@ -125,8 +128,8 @@ def test_zero_quality_canonical_budget(parity_b200):
 def test_zero_beats_reference_mcts_at_200_sims():
     """Deploy-compute scaling artifact (runs/parity_b200_sims200): at
     200 simulations the zero planner's final masked tr(P) must stay at
-    or below the reference classic MCTS row of the matched-world b200
-    artifact (currently 3.30 vs 4.72 — the reference's 'on-par' claim,
+    or below the reference classic MCTS row (r5, n=10 matched worlds:
+    2.86±1.83 vs 3.61±2.36 — the reference's 'on-par' claim,
     exceeded).  Tolerance covers both runs' spread."""
     s200 = _load("parity_b200_sims200")
     b200 = _load("parity_b200")
@@ -135,4 +138,20 @@ def test_zero_beats_reference_mcts_at_200_sims():
     assert z["uncertainty_final"][0] <= m["uncertainty_final"][0] * 1.1 + 1.0, (
         f"zero@200sims {z['uncertainty_final'][0]:.2f} vs ref MCTS "
         f"{m['uncertainty_final'][0]:.2f}"
+    )
+
+
+def test_zero_within_2x_reference_cmaes_at_200_sims():
+    """The reference's on-par family includes its CMA-ES baseline
+    (reference planning/ipp_masha.py:160-219, README.md:15-16) — the
+    strongest of its planners on matched worlds.  VERDICT r4 task 5:
+    commit an operating point with zero <= 2x reference CMA-ES.  The r5
+    artifact holds 2.86±1.83 vs 1.46±0.44 (ratio 1.96x) at 200
+    simulations on 10 matched worlds."""
+    s200 = _load("parity_b200_sims200")
+    z = s200["planners"]["zero"]["ours"]
+    c = s200["planners"]["cmaes"]["reference"]
+    assert z["uncertainty_final"][0] <= c["uncertainty_final"][0] * 2.0, (
+        f"zero@200sims {z['uncertainty_final'][0]:.2f} vs ref CMA-ES "
+        f"{c['uncertainty_final'][0]:.2f}"
     )

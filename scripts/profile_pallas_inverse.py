@@ -56,9 +56,11 @@ def main():
 
     def evolve(S, Si):
         # keep the carry changing and well-conditioned (identical inputs
-        # can hit the tunnel's result cache; see scripts/profile_micro.py)
-        S = S + 1e-6 * Si
-        return 0.5 * (S + jnp.swapaxes(S, -1, -2)) + 1e-6 * jnp.eye(M)
+        # hit the tunnel's result cache; the perturbation must exceed
+        # the f32 ulp at S ~ 9.0, i.e. ~1e-6 — the original 1e-6*Si
+        # (delta ~1e-7) was an EXACT fixpoint and read 0.001 ms/iter)
+        S = 0.999 * S + 1e-2 * Si
+        return 0.5 * (S + jnp.swapaxes(S, -1, -2)) + 1e-3 * jnp.eye(M)
 
     def xla_body(S):
         Si = kalman._small_spd_inverse(S)

@@ -111,7 +111,9 @@ class Arena:
             reward = (gain / (cost + 1.0)).astype(dt)
             disc = jnp.asarray(hp.gamma, dt) ** depth.astype(dt)
             total = total + jnp.where(running, disc * reward, jnp.asarray(0.0, dt))
-            cov_next = cov - jnp.einsum("bnm,bkm->bnk", Wc, Wc)
+            # Wc is the TRANSPOSED (M, N) edge factor (ops/kalman
+            # kf_gain_factor_t layout): P' = P − Wcᵀ·Wc
+            cov_next = cov - jnp.einsum("bmn,bmk->bnk", Wc, Wc)
             keep = running[:, None, None]
             cov = jnp.where(keep, cov_next, cov)
             pos = jnp.where(running[:, None], world.actions_xyz[action], pos)

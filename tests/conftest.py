@@ -26,6 +26,21 @@ import pytest  # noqa: E402
 from ipp_rl_tpu.config.schema import Config, config_from_dict  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Reset jit/compilation caches between test modules.
+
+    A single-process full-suite run accumulates ~150 XLA CPU
+    compilations and then segfaults inside backend_compile_and_load
+    (reproducible at the same test twice on this box with 120 GB free —
+    compiler state, not memory; every test passes in isolation).
+    Clearing the caches at module boundaries bounds the accumulated
+    state; if the crash still appears, run the suite as two pytest
+    invocations (see CLAUDE.md)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def canonical_cfg() -> Config:
     """The reference canonical workload (10x10 grid, 2 altitude levels)."""
